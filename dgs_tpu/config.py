@@ -1,0 +1,124 @@
+"""Runtime configuration for the TPU Gaussian sampling engine.
+
+The CUDA reference hard-codes its configuration at compile time
+(/root/reference/cuda_sampler/config.h:18-20: ``BLOCK_SIZE 0.51f``, ``#define
+TORUS``, ``typedef float FLOAT``).  Here everything is a runtime dataclass that
+is hashable so it can be passed as a static argument to ``jax.jit`` /
+``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# Packed upper-triangular size for a symmetric DxD matrix
+# (reference stores covariances/conics this way: sample_points.cu:167).
+def tri_size(D: int) -> int:
+    return D * (D + 1) // 2
+
+
+def tri_index(D: int, i: int, j: int) -> int:
+    """Index into the packed upper-triangular representation.
+
+    Row-major upper triangle: D=2 -> [(0,0), (0,1), (1,1)] matching the
+    reference layout con[0]=c_xx, con[1]=c_xy, con[2]=c_yy
+    (forward.cu:177: power = -0.5*(c0*x^2 + c2*y^2) - c1*x*y).
+    """
+    u, v = (i, j) if i <= j else (j, i)
+    return u * D - u * (u - 1) // 2 + (v - u)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static configuration for the sampling engine.
+
+    Attributes:
+      period: Domain period per-axis for the periodic (torus) domain, or
+        ``None`` for an open domain.  The reference uses a compile-time torus
+        of period 2 on [-1, 1]^D (config.h:19, auxiliary.h:23-25).
+      lower: Lower corner of the tile grid (world units). The reference derives
+        this from sample bounds at runtime, which forces a host sync
+        (sample_points.cu:70-74); we make it static for XLA.
+      tile_size: World-space tile edge (reference BLOCK_SIZE 0.51, config.h:18).
+      radius_sigma: Gaussian footprint cutoff in standard deviations
+        (reference: 3 sigma, forward.cu:52-61).
+      max_tiles_per_gaussian: Static cap on the per-Gaussian tile footprint per
+        axis (replaces the reference's dynamic ``num_rendered``,
+        sampler_impl.cu:256-257, with a static capacity).
+      tile_gaussian_capacity / tile_sample_capacity: Static per-tile table
+        capacities for the padded binning structure (the TPU equivalent of the
+        sorted ranges, sampler_impl.cu:286-292). Overflow is counted and
+        reported, never silently wrong.
+      dtype: Evaluation dtype. The reference is fp32 (config.h:20).
+    """
+
+    period: Optional[float] = 2.0
+    lower: Tuple[float, ...] = (-1.0, -1.0)
+    tile_size: float = 0.51
+    radius_sigma: float = 3.0
+    max_tiles_per_gaussian: int = 4
+    tile_gaussian_capacity: int = 1024
+    tile_sample_capacity: int = 1024
+    dtype: str = "float32"
+
+    # Pallas block sizes (tunable).
+    block_n: int = 256
+    block_p: int = 512
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def D(self) -> int:
+        return len(self.lower)
+
+    def grid_shape(self) -> Tuple[int, ...]:
+        """Static tile-grid shape.
+
+        Mirrors the reference grid computation
+        ``ceil((max - min + 1e-6) / BLOCK_SIZE)`` (sample_points.cu:70-74) but
+        over the configured domain instead of data-dependent sample bounds.
+        """
+        if self.period is not None:
+            extent = [self.period] * self.D
+        else:
+            extent = [u - l for l, u in zip(self.lower, self.upper)]
+        return tuple(int(-(-(e + 1e-6) // self.tile_size)) for e in extent)
+
+    @property
+    def upper(self) -> Tuple[float, ...]:
+        if self.period is not None:
+            return tuple(l + self.period for l in self.lower)
+        raise ValueError("open-domain config requires explicit bounds")
+
+    def with_dims(self, D: int) -> "SamplerConfig":
+        if self.D == D:
+            return self
+        return dataclasses.replace(self, lower=tuple(self.lower[0] for _ in range(D)))
+
+
+# The four evaluation orders exposed by the reference
+# (ext.cpp:20-27: sample_gaussians / _derivative / _laplacian / _third_derivative).
+ORDERS = ("value", "derivative", "laplacian", "third")
+
+
+def n_components(order: str, D: int) -> int:
+    return {"value": 1, "derivative": D, "laplacian": D * D, "third": D * D * D}[order]
+
+
+def out_shape(order: str, N: int, D: int, C: int) -> Tuple[int, ...]:
+    """Output shapes matching the reference allocations.
+
+    value (N,C) / derivative (N,D,C) / laplacian==Hessian (N,D,D,C) /
+    third (N,D,D,D,C)  (sample_points.cu:215, 240, 265, 290).
+    """
+    return {
+        "value": (N, C),
+        "derivative": (N, D, C),
+        "laplacian": (N, D, D, C),
+        "third": (N, D, D, D, C),
+    }[order]

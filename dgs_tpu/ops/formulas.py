@@ -1,0 +1,242 @@
+"""Closed-form per-pair Gaussian evaluation weights and their VJPs.
+
+This is the single source of truth for the math of all four sampling ops.  It
+replicates the semantics of the CUDA reference's inlined device functions
+(forward: /root/reference/cuda_sampler/forward.cu:168-275, backward:
+/root/reference/cuda_sampler/backward.cu:108-416) generalized from D in {1,2}
+to D in {1,2,3}:
+
+  field           u(x)    = sum_i v_i * G_i(x),  G = exp(-1/2 X^T C X)
+  value           w       = G
+  derivative      w_d     = G * a_d                      (d/dx_d, sample coords)
+  laplacian       w_ij    = G * (a_i a_j - C_ij)         (full Hessian d2/dx_i dx_j)
+  third           w_ijk   = G * (C_ij a_k + C_ik a_j + C_jk a_i - a_i a_j a_k)
+
+where X = wrap(mu - x) and a = C X.  Note the reference's "third derivative"
+is the NEGATIVE of d3G/dx3 (equivalently the third derivative w.r.t. the mean
+mu); see forward.cu:247 (D=1: 3*c*x1 - x1^3 = -(x1^3 - 3*c*x1)).  We replicate
+that sign exactly.
+
+The reference skips any pair whose quadratic form is positive (non-PSD conic;
+forward.cu:171 ``if (power > 0.0) return``); we replicate with a mask.
+
+All functions operate on *lists* of arrays with the spatial dimension D and
+the packed-triangular dimension unrolled in Python.  This keeps the trailing
+array axes free for TPU lane tiling (a trailing axis of size D=2 would waste
+126/128 lanes in a Pallas kernel).  Conics are packed upper-triangular
+row-major, e.g. D=2: [c_xx, c_xy, c_yy] (forward.cu:177).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..config import tri_index, tri_size
+
+
+def wrap(X, period: Optional[float]):
+    """Minimum-image displacement on a torus of the given period.
+
+    Branch-free equivalent of the reference's fmod-based wrap
+    (forward.cu:149-157): maps X into [-period/2, period/2].
+    """
+    if period is None:
+        return X
+    return X - period * jnp.round(X / period)
+
+
+def conic_apply(Xs: Sequence, con: Sequence, D: int) -> List:
+    """a = C @ X for packed-triangular C; returns list of D arrays."""
+    return [
+        sum(con[tri_index(D, l, m)] * Xs[m] for m in range(D)) for l in range(D)
+    ]
+
+
+def power_terms(Xs: Sequence, con: Sequence):
+    """Returns (G, a) for a batch of pairs.
+
+    G = exp(-1/2 X^T C X), masked to zero where the quadratic form is positive
+    (backward.cu:114 ``if (power > 0.0) return``).
+    """
+    D = len(Xs)
+    a = conic_apply(Xs, con, D)
+    power = sum(a[l] * Xs[l] for l in range(D)) * (-0.5)
+    G = jnp.where(power > 0, 0.0, jnp.exp(jnp.minimum(power, 0.0)))
+    return G, a
+
+
+def components(order: str, Xs: Sequence, con: Sequence, G, a) -> List:
+    """Per-pair evaluation weights, row-major over tensor indices.
+
+    Matches forward.cu:168-275 component ordering (e.g. the Hessian is emitted
+    row-major with symmetric off-diagonals duplicated, forward.cu:231-234).
+    """
+    D = len(Xs)
+    C = lambda i, j: con[tri_index(D, i, j)]
+    if order == "value":
+        return [G]
+    if order == "derivative":
+        return [G * a[i] for i in range(D)]
+    if order == "laplacian":
+        return [G * (a[i] * a[j] - C(i, j)) for i in range(D) for j in range(D)]
+    if order == "third":
+        return [
+            G
+            * (
+                C(i, j) * a[k]
+                + C(i, k) * a[j]
+                + C(j, k) * a[i]
+                - a[i] * a[j] * a[k]
+            )
+            for i in range(D)
+            for j in range(D)
+            for k in range(D)
+        ]
+    raise ValueError(f"unknown order {order!r}")
+
+
+def _power_dcon(Xs: Sequence, D: int) -> List:
+    """d(power)/d(c_t) for each packed index t.
+
+    t=(u,u): -1/2 X_u^2 ; t=(u,v), u<v: -X_u X_v (the off-diagonal appears
+    twice in X^T C X; cf. backward.cu:150-152).
+    """
+    out = [None] * tri_size(D)
+    for u in range(D):
+        for v in range(u, D):
+            t = tri_index(D, u, v)
+            if u == v:
+                out[t] = -0.5 * Xs[u] * Xs[u]
+            else:
+                out[t] = -(Xs[u] * Xs[v])
+    return out
+
+
+def _a_dcon(Xs: Sequence, D: int):
+    """da_l/dc_t as a [l][t] table of arrays-or-0.0.
+
+    t=(u,u): delta_{lu} X_u ; t=(u,v): delta_{lu} X_v + delta_{lv} X_u.
+    """
+    table = [[0.0] * tri_size(D) for _ in range(D)]
+    for u in range(D):
+        for v in range(u, D):
+            t = tri_index(D, u, v)
+            if u == v:
+                table[u][t] = Xs[u]
+            else:
+                table[u][t] = Xs[v]
+                table[v][t] = Xs[u]
+    return table
+
+
+def vjp_params(order: str, Xs: Sequence, con: Sequence, G, a, hs: Sequence):
+    """Per-pair VJP contributions to (d mu, d conic).
+
+    ``hs`` is the list (one per component, same order as ``components``) of the
+    per-pair cotangents already contracted over channels:
+    h_comp = sum_c values[c] * dL/dout[comp, c]  (the ``dL_dG`` accumulators of
+    backward.cu:118-123, 188-197, 252-268, 344-375).
+
+    Returns (dmu, dcon): lists of D and tri_size(D) per-pair arrays.  The
+    caller reduces over the sample axis and handles dL/dvalues separately
+    (dL_dvalues = sum over pairs of component_weight * dL/dout, cf.
+    backward.cu:121).
+
+    Derivation: for each component w = G * p(a, C),
+      dw/dmu_d = G * (-a_d * p + dp/dmu_d),   da_l/dmu_d = C_{ld}
+      dw/dc_t  = G * (s_t * p + dp/dc_t),     s_t = d(power)/dc_t
+    which reproduces the reference's hand-derived forms (e.g. backward.cu:174:
+    dL_dx = (x1^2 - c) * dL_dG * G with the sign flip applied at the
+    accumulate, backward.cu:176 ``atomicAdd(dL_dmeans, -dL_dx)``).
+    """
+    D = len(Xs)
+    tri = tri_size(D)
+    C = lambda i, j: con[tri_index(D, i, j)]
+    s = _power_dcon(Xs, D)
+    da = _a_dcon(Xs, D)
+
+    dmu = [0.0] * D
+    dcon = [0.0] * tri
+
+    if order == "value":
+        h = hs[0]
+        hG = h * G
+        for d in range(D):
+            dmu[d] = dmu[d] - hG * a[d]
+        for t in range(tri):
+            dcon[t] = dcon[t] + hG * s[t]
+        return dmu, dcon
+
+    if order == "derivative":
+        for i in range(D):
+            hG = hs[i] * G
+            for d in range(D):
+                dmu[d] = dmu[d] + hG * (C(i, d) - a[d] * a[i])
+            for t in range(tri):
+                dcon[t] = dcon[t] + hG * (s[t] * a[i] + da[i][t])
+        return dmu, dcon
+
+    if order == "laplacian":
+        for i in range(D):
+            for j in range(D):
+                h = hs[i * D + j]
+                hG = h * G
+                p = a[i] * a[j] - C(i, j)
+                for d in range(D):
+                    dmu[d] = dmu[d] + hG * (
+                        C(i, d) * a[j] + C(j, d) * a[i] - a[d] * p
+                    )
+                tij = tri_index(D, i, j)
+                for t in range(tri):
+                    dp = da[i][t] * a[j] + da[j][t] * a[i]
+                    if t == tij:
+                        dp = dp - 1.0
+                    dcon[t] = dcon[t] + hG * (s[t] * p + dp)
+        return dmu, dcon
+
+    if order == "third":
+        for i in range(D):
+            for j in range(D):
+                for k in range(D):
+                    h = hs[(i * D + j) * D + k]
+                    hG = h * G
+                    p = (
+                        C(i, j) * a[k]
+                        + C(i, k) * a[j]
+                        + C(j, k) * a[i]
+                        - a[i] * a[j] * a[k]
+                    )
+                    for d in range(D):
+                        dp_dmu = (
+                            C(i, j) * C(k, d)
+                            + C(i, k) * C(j, d)
+                            + C(j, k) * C(i, d)
+                            - C(i, d) * a[j] * a[k]
+                            - a[i] * C(j, d) * a[k]
+                            - a[i] * a[j] * C(k, d)
+                        )
+                        dmu[d] = dmu[d] + hG * (dp_dmu - a[d] * p)
+                    tij = tri_index(D, i, j)
+                    tik = tri_index(D, i, k)
+                    tjk = tri_index(D, j, k)
+                    for t in range(tri):
+                        dp = (
+                            C(i, j) * da[k][t]
+                            + C(i, k) * da[j][t]
+                            + C(j, k) * da[i][t]
+                            - da[i][t] * a[j] * a[k]
+                            - a[i] * da[j][t] * a[k]
+                            - a[i] * a[j] * da[k][t]
+                        )
+                        if t == tij:
+                            dp = dp + a[k]
+                        if t == tik:
+                            dp = dp + a[j]
+                        if t == tjk:
+                            dp = dp + a[i]
+                        dcon[t] = dcon[t] + hG * (s[t] * p + dp)
+        return dmu, dcon
+
+    raise ValueError(f"unknown order {order!r}")

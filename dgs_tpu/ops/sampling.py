@@ -1,0 +1,193 @@
+"""Differentiable sampling ops with hand-derived custom VJPs.
+
+This is the TPU-native equivalent of the reference's autograd layer + CUDA
+backward kernels (__init__.py:128-162 + backward.cu): each op is a
+``jax.custom_vjp`` whose backward produces (dL/dmeans, dL/dvalues,
+dL/dconics) exactly as the reference's hand-written kernels do
+(sample_points.cu:165-167), and zero for the sample positions (the reference
+returns no sample gradient, __init__.py:113-126).
+
+Two execution paths share this interface:
+  * ``method="dense"``  - blocked XLA evaluation of all pairs (this module).
+  * ``method="tiled"``  - tile-binned Pallas path (kernels/ + binning/).
+
+The fused multi-order op evaluates several derivative orders in one pairwise
+pass - the reference must launch 4 separate kernels over the same binning
+(sampler_impl.cu:333-364 called once per op); fusing is a TPU-side win.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import n_components, out_shape, tri_size
+from . import formulas
+
+ALL_ORDERS = ("value", "derivative", "laplacian", "third")
+
+
+def _pairwise_context(means, conics, samples, period):
+    """Shared per-pair quantities: X (wrapped), conic entries, G, a."""
+    N, D = samples.shape
+    X = formulas.wrap(means[None, :, :] - samples[:, None, :], period)
+    Xs = [X[..., d] for d in range(D)]
+    con = [conics[None, :, t] for t in range(tri_size(D))]
+    G, a = formulas.power_terms(Xs, con)
+    return Xs, con, G, a
+
+
+def _forward_impl(orders, period, means, values, conics, samples):
+    N, D = samples.shape
+    P, C = values.shape
+    Xs, con, G, a = _pairwise_context(means, conics, samples, period)
+    outs = []
+    for order in orders:
+        comps = formulas.components(order, Xs, con, G, a)
+        W = jnp.stack(comps, axis=1)  # (N, k, P)
+        out = jnp.einsum("nkp,pc->nkc", W, values)
+        outs.append(out.reshape(out_shape(order, N, D, C)))
+    return tuple(outs)
+
+
+def _backward_impl(orders, period, means, values, conics, samples, gs):
+    """Closed-form VJP shared by all orders; mirrors backward.cu:108-416."""
+    N, D = samples.shape
+    P, C = values.shape
+    Xs, con, G, a = _pairwise_context(means, conics, samples, period)
+
+    d_means = jnp.zeros((P, D), means.dtype)
+    d_values = jnp.zeros((P, C), values.dtype)
+    d_conics = jnp.zeros((P, tri_size(D)), conics.dtype)
+
+    for order, g in zip(orders, gs):
+        k = n_components(order, D)
+        g = g.reshape(N, k, C)
+        comps = formulas.components(order, Xs, con, G, a)
+        W = jnp.stack(comps, axis=1)  # (N, k, P)
+        # dL/dvalues[p,c] = sum_{n,comp} W[n,comp,p] * g[n,comp,c]
+        d_values = d_values + jnp.einsum("nkp,nkc->pc", W, g)
+        # h_comp[n,p] = sum_c values[p,c] * g[n,comp,c]   (backward.cu:122)
+        H = jnp.einsum("pc,nkc->nkp", values, g)
+        hs = [H[:, i, :] for i in range(k)]
+        dmu, dcon = formulas.vjp_params(order, Xs, con, G, a, hs)
+        d_means = d_means + jnp.stack([m.sum(axis=0) for m in dmu], axis=-1)
+        d_conics = d_conics + jnp.stack([c.sum(axis=0) for c in dcon], axis=-1)
+
+    return d_means, d_values, d_conics
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def sample_dense_multi(orders: Tuple[str, ...], period: Optional[float],
+                       means, values, conics, samples):
+    """Fused multi-order dense evaluation; returns one output per order."""
+    return _forward_impl(orders, period, means, values, conics, samples)
+
+
+def _sample_dense_multi_fwd(orders, period, means, values, conics, samples):
+    outs = _forward_impl(orders, period, means, values, conics, samples)
+    return outs, (means, values, conics, samples)
+
+
+def _sample_dense_multi_bwd(orders, period, res, gs):
+    means, values, conics, samples = res
+    d_means, d_values, d_conics = _backward_impl(
+        orders, period, means, values, conics, samples, gs
+    )
+    return d_means, d_values, d_conics, jnp.zeros_like(samples)
+
+
+sample_dense_multi.defvjp(_sample_dense_multi_fwd, _sample_dense_multi_bwd)
+
+
+def sample_dense(order: str, means, values, conics, samples,
+                 *, period: Optional[float] = 2.0):
+    """Single-order dense evaluation (value/derivative/laplacian/third)."""
+    (out,) = sample_dense_multi((order,), period, means, values, conics, samples)
+    return out
+
+
+def sample_dense_all(means, values, conics, samples, *, period=2.0,
+                     orders: Sequence[str] = ALL_ORDERS):
+    outs = sample_dense_multi(tuple(orders), period, means, values, conics, samples)
+    return dict(zip(orders, outs))
+
+
+# ---------------------------------------------------------------------------
+# Pallas-kernel path (same interface, Pallas dense kernels underneath)
+# ---------------------------------------------------------------------------
+
+
+def _split_orders(orders, stacked, N, D, C):
+    """Slice the kernel's stacked (N, K, C) component tensor per order."""
+    outs = []
+    k0 = 0
+    for order in orders:
+        k = n_components(order, D)
+        outs.append(stacked[:, k0 : k0 + k, :].reshape(out_shape(order, N, D, C)))
+        k0 += k
+    return tuple(outs)
+
+
+def _stack_cotangents(orders, gs, N, D, C):
+    parts = [
+        g.reshape(N, n_components(order, D), C) for order, g in zip(orders, gs)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def sample_pallas_multi(orders: Tuple[str, ...], period: Optional[float],
+                        means, values, conics, samples):
+    """Fused multi-order evaluation via the Pallas dense kernels."""
+    from ..kernels import dense as kdense
+
+    N, D = samples.shape
+    C = values.shape[1]
+    stacked = kdense.dense_forward(orders, period, means, values, conics, samples)
+    return _split_orders(orders, stacked, N, D, C)
+
+
+def _sample_pallas_multi_fwd(orders, period, means, values, conics, samples):
+    outs = sample_pallas_multi(orders, period, means, values, conics, samples)
+    return outs, (means, values, conics, samples)
+
+
+def _sample_pallas_multi_bwd(orders, period, res, gs):
+    from ..kernels import dense as kdense
+
+    means, values, conics, samples = res
+    N, D = samples.shape
+    C = values.shape[1]
+    g = _stack_cotangents(orders, gs, N, D, C)
+    d_means, d_values, d_conics = kdense.dense_backward(
+        orders, period, means, values, conics, samples, g
+    )
+    return d_means, d_values, d_conics, jnp.zeros_like(samples)
+
+
+sample_pallas_multi.defvjp(_sample_pallas_multi_fwd, _sample_pallas_multi_bwd)
+
+
+def sample(order: str, means, values, conics, samples, *,
+           period: Optional[float] = 2.0, method: str = "pallas"):
+    """Public single-order entry point.
+
+    method: "pallas" (blocked Pallas kernels) or "dense" (pure-XLA reference
+    path).  Both produce identical values and gradients.
+    """
+    fn = sample_pallas_multi if method == "pallas" else sample_dense_multi
+    (out,) = fn((order,), period, means, values, conics, samples)
+    return out
+
+
+def sample_all(means, values, conics, samples, *, period=2.0,
+               orders: Sequence[str] = ALL_ORDERS, method: str = "pallas"):
+    """Fused multi-order evaluation - one pairwise pass for all orders."""
+    fn = sample_pallas_multi if method == "pallas" else sample_dense_multi
+    outs = fn(tuple(orders), period, means, values, conics, samples)
+    return dict(zip(orders, outs))
