@@ -1,0 +1,248 @@
+"""Static-shape world-space tile binning (the TPU acceleration structure).
+
+TPU-native replacement for the CUDA reference's sort-based binning pipeline
+(sampler_impl.cu:216-330):
+
+  reference                                this module
+  -----------------------------------     -----------------------------------
+  preprocessCUDA radius+tiles_touched  ->  vectorized radii + rect math
+  cub InclusiveSum + cudaMemcpy sync   ->  static entry capacity P * R^D
+  duplicateWithKeys (torus wrap)       ->  enumerate R^D candidate tiles/gaussian
+  cub RadixSort on [tile|id] keys      ->  jnp.argsort on tile keys
+  identifyTileRanges -> uint2 ranges   ->  searchsorted tile starts
+  sampleWithKeys + sort + ranges       ->  argsort samples by tile
+
+Everything is shape-static and jit-compatible: the data-dependent
+``num_rendered`` host sync (sampler_impl.cu:256-257) is replaced by a static
+per-Gaussian duplicate capacity ``R = max_tiles_per_gaussian`` per axis, with
+an overflow counter for footprints that exceed it (never silently dropped
+without a report).
+
+The kernels (kernels/tiled.py) consume the *sorted flat lists* directly: for
+a block of consecutive sorted samples, all relevant Gaussian entries form a
+contiguous range of the sorted entry list (both are sorted by tile id), so
+block offsets are scalar-prefetched and pair validity is just
+``entry_tile == sample_tile`` - the TPU analogue of the per-tile ranges.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SamplerConfig, tri_size
+from ..oracle.dense import radii as compute_radii
+
+
+class BinningState(NamedTuple):
+    """Acceleration structure shared by all four sampling ops (the analogue
+    of the reference's binning_buffer/sample_binning_buffer/ranges state,
+    __init__.py:224-233)."""
+
+    # Sorted Gaussian duplicates ("entries"), one per (gaussian, covered tile):
+    ent_gid: jnp.ndarray      # (E,) int32 gaussian id, P = sentinel pad
+    ent_tile: jnp.ndarray     # (1, E) int32 flat tile id, T = sentinel pad
+    ent_start: jnp.ndarray    # (T+2,) int32 entry range starts per tile
+    # Sorted samples:
+    s_perm: jnp.ndarray       # (N,) int32 sample id by sorted position
+    s_tile: jnp.ndarray       # (1, N) int32 tile of sorted sample, T+1 = pad
+    s_start: jnp.ndarray      # (T+2,) int32 sample range starts per tile
+    # Per-Gaussian culling radius (exposed like reference radii,
+    # sample_points.cu:54: zero radius = culled).
+    radii: jnp.ndarray        # (P,) float32
+    # Diagnostics: number of (gaussian, tile) overlaps beyond the static
+    # capacity R^D (0 = binning exact).
+    overflow: jnp.ndarray     # () int32
+
+    @property
+    def num_entries(self) -> int:
+        return self.ent_gid.shape[0]
+
+
+def _grid_info(cfg: SamplerConfig, D: int):
+    grid = cfg.with_dims(D).grid_shape()
+    T = 1
+    strides = []
+    for g in reversed(grid):
+        strides.append(T)
+        T *= g
+    strides = tuple(reversed(strides))
+    return grid, strides, T
+
+
+def num_tiles(cfg: SamplerConfig, D: int) -> int:
+    return _grid_info(cfg, D)[2]
+
+
+def sample_tiles(cfg: SamplerConfig, samples: jnp.ndarray) -> jnp.ndarray:
+    """Flat tile id of each sample (clamped into the grid).
+
+    Mirrors sampleWithKeys (sampler_impl.cu:155-189) except the reference's
+    off-by-one ``min(grid[i], ...)`` (which can index one past the grid) is
+    fixed to ``grid[i]-1``.
+    """
+    N, D = samples.shape
+    grid, strides, T = _grid_info(cfg, D)
+    lower = jnp.asarray(cfg.with_dims(D).lower, samples.dtype)
+    t = jnp.floor((samples - lower) / cfg.tile_size).astype(jnp.int32)
+    t = jnp.clip(t, 0, jnp.asarray(grid, jnp.int32) - 1)
+    return (t * jnp.asarray(strides, jnp.int32)).sum(axis=1)
+
+
+def gaussian_rects(cfg: SamplerConfig, means: jnp.ndarray, radii: jnp.ndarray):
+    """Per-Gaussian covered tile ranges [rect_min, rect_max) per axis.
+
+    Mirrors getRect (auxiliary.h:21-31): torus mode leaves indices unwrapped
+    (they wrap modulo the grid at emission, sampler_impl.cu:89-116); open mode
+    clamps to [0, grid].  Zero radius -> empty rect (culled Gaussian,
+    forward.cu:41-42, duplicateWithKeys radii>0 check sampler_impl.cu:69).
+    """
+    P, D = means.shape
+    cfg = cfg.with_dims(D)
+    grid, _, _ = _grid_info(cfg, D)
+    lower = jnp.asarray(cfg.lower, means.dtype)
+    g = jnp.asarray(grid, jnp.int32)
+    r = radii[:, None]
+    lo = jnp.floor((means - lower - r) / cfg.tile_size).astype(jnp.int32)
+    hi = jnp.ceil((means - lower + r) / cfg.tile_size).astype(jnp.int32)
+    if cfg.period is None:
+        lo = jnp.clip(lo, 0, g)
+        hi = jnp.clip(hi, 0, g)
+    # Footprints spanning the whole grid collapse to exactly one full cover
+    # (prevents duplicate emission, sampler_impl.cu:83-86, 100-107).
+    full = (hi - lo) >= g
+    lo = jnp.where(full, 0, lo)
+    hi = jnp.where(full, g, hi)
+    empty = (radii <= 0.0)[:, None]
+    hi = jnp.where(empty, lo, hi)
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def build(
+    cfg: SamplerConfig,
+    means: jnp.ndarray,       # (P, D)
+    covariances: jnp.ndarray, # (P, tri)
+    samples: jnp.ndarray,     # (N, D)
+) -> BinningState:
+    """Build the acceleration structure (reference preprocess, ext.cpp:20)."""
+    P, D = means.shape
+    N = samples.shape[0]
+    cfg = cfg.with_dims(D)
+    grid, strides, T = _grid_info(cfg, D)
+    R = cfg.max_tiles_per_gaussian
+    dup = R**D
+
+    rad = compute_radii(covariances, D, cfg.radius_sigma)
+    lo, hi = gaussian_rects(cfg, means, rad)
+    extent = hi - lo  # (P, D)
+    overflow = jnp.sum(
+        jnp.maximum(jnp.prod(jnp.minimum(extent, R), axis=1), 0)
+        != jnp.maximum(jnp.prod(extent, axis=1), 0)
+    ).astype(jnp.int32)
+
+    # Enumerate the R^D candidate tiles of every Gaussian (duplicateWithKeys,
+    # sampler_impl.cu:54-129) with torus wrap of the tile index.
+    offs = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(R, dtype=jnp.int32)] * D, indexing="ij"),
+        axis=-1,
+    ).reshape(dup, D)  # (dup, D)
+    cand = lo[:, None, :] + offs[None, :, :]  # (P, dup, D)
+    valid = jnp.all(cand < hi[:, None, :], axis=-1)
+    g = jnp.asarray(grid, jnp.int32)
+    if cfg.period is not None:
+        cand = jnp.remainder(cand, g)
+    else:
+        valid = valid & jnp.all(cand < g, axis=-1) & jnp.all(cand >= 0, axis=-1)
+    tile = (cand * jnp.asarray(strides, jnp.int32)).sum(-1)  # (P, dup)
+    tile = jnp.where(valid, tile, T)  # sentinel tile sorts last
+
+    ent_tile_flat = tile.reshape(P * dup)
+    ent_gid_flat = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32)[:, None], (P, dup)
+    ).reshape(P * dup)
+    ent_gid_flat = jnp.where(ent_tile_flat == T, P, ent_gid_flat)
+
+    order = jnp.argsort(ent_tile_flat)  # stable: preserves gaussian order/tile
+    ent_tile = ent_tile_flat[order]
+    ent_gid = ent_gid_flat[order]
+    ent_start = jnp.searchsorted(
+        ent_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    s_tile_raw = sample_tiles(cfg, samples)
+    s_perm = jnp.argsort(s_tile_raw).astype(jnp.int32)
+    s_tile = s_tile_raw[s_perm]
+    s_start = jnp.searchsorted(
+        s_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    return BinningState(
+        ent_gid=ent_gid,
+        ent_tile=ent_tile[None, :],
+        ent_start=ent_start,
+        s_perm=s_perm,
+        s_tile=s_tile[None, :],
+        s_start=s_start,
+        radii=rad,
+        overflow=overflow,
+    )
+
+
+def pair_mask_dense(cfg: SamplerConfig, state: BinningState,
+                    samples: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Dense (N, P) inclusion mask implied by the binning - a pair counts iff
+    the Gaussian's rect covers the sample's tile (renderCUDA pairing,
+    forward.cu:104-144).  Used by tests to compare the tiled kernels against
+    the oracle with *exactly* matching semantics."""
+    N = samples.shape[0]
+    s_t = sample_tiles(cfg, samples)  # (N,)
+    E = state.num_entries
+    # mask[n, p] = any entry with gid p and tile == s_t[n]
+    ent_tile = state.ent_tile[0]
+    ent_gid = state.ent_gid
+    hits = ent_tile[None, :] == s_t[:, None]  # (N, E)
+    onehot = jax.nn.one_hot(ent_gid, P + 1, dtype=jnp.float32)[:, :P]  # (E, P)
+    return (hits.astype(jnp.float32) @ onehot) > 0.0
+
+
+def _range_geometry(row_tiles, row_block, col_starts, col_block, n_rows):
+    """Block-granular [base, base+nblocks) sweep ranges.
+
+    For each block of ``row_block`` consecutive tile-sorted rows, the relevant
+    columns (also tile-sorted) form the contiguous range
+    [col_starts[first_tile], col_starts[last_tile + 1]) - the TPU analogue of
+    the reference's per-tile uint2 ranges (identifyTileRanges,
+    sampler_impl.cu:134-151).
+    """
+    RB = -(-n_rows // row_block)
+    Tmax = col_starts.shape[0] - 1
+    first = jnp.minimum(row_tiles[jnp.arange(RB) * row_block], Tmax)
+    last = jnp.minimum(
+        row_tiles[jnp.minimum(jnp.arange(1, RB + 1) * row_block, n_rows) - 1],
+        Tmax - 1,
+    )
+    lo = col_starts[first]
+    hi = col_starts[last + 1]
+    base = lo // col_block
+    nblocks = jnp.where(hi > lo, -(-(hi - base * col_block) // col_block), 0)
+    return base.astype(jnp.int32), nblocks.astype(jnp.int32)
+
+
+def forward_geometry(state: BinningState, block_n: int, block_e: int):
+    """(base, nblocks) over entry blocks for each sorted-sample block."""
+    return _range_geometry(
+        state.s_tile[0], block_n, state.ent_start, block_e,
+        state.s_tile.shape[1],
+    )
+
+
+def backward_geometry(state: BinningState, block_e: int, block_n: int):
+    """(base, nblocks) over sorted-sample blocks for each entry block."""
+    return _range_geometry(
+        state.ent_tile[0], block_e, state.s_start, block_n,
+        state.ent_tile.shape[1],
+    )

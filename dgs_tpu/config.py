@@ -67,6 +67,11 @@ class SamplerConfig:
     # Pallas block sizes (tunable).
     block_n: int = 256
     block_p: int = 512
+    # Static sweep caps for the tiled kernels when binning is built inside a
+    # jitted step (eager facade auto-tunes instead).  Exactness requires the
+    # cap to cover max(nblocks); the overflow diagnostic reports violations.
+    work_blocks_fwd: int = 8
+    work_blocks_bwd: int = 16
 
     @property
     def jnp_dtype(self):

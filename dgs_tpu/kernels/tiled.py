@@ -1,0 +1,299 @@
+"""Pallas TPU kernels over the tile-binned acceleration structure.
+
+The TPU analogue of the reference's per-tile render kernels
+(forward.cu:88-166, backward.cu:27-106).  The CUDA design gives each spatial
+tile a thread block that walks its dynamic [start,end) range of sorted
+Gaussian IDs; here, a block of BS consecutive *tile-sorted* samples sweeps the
+contiguous range of *tile-sorted* Gaussian entries covering its tiles.  Block
+offsets are scalar-prefetched (PrefetchScalarGridSpec), and pair validity is
+``entry_tile == sample_tile`` - the exact pairing the reference's binning
+produces (a Gaussian meets a sample iff its 3-sigma rect covers the sample's
+tile).
+
+Backward writes gradients **per entry** (one slot per (gaussian, tile)
+duplicate) and the caller segment-sums by gaussian id - a deterministic
+replacement for the reference's atomicAdd scatter (backward.cu:121-152).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import n_components, tri_size
+from ..binning.grid import BinningState
+from ..ops import formulas
+from .dense import _interpret, _pad_axis, _round_up
+
+
+def _gather_entries(state: BinningState, means, values, conics, block_e: int):
+    """Entry-ordered parameter arrays, padded to a block multiple.
+
+    Sentinel entries (gid == P) hit an appended zero row; they are also
+    tile-masked in-kernel, so both forward and backward contributions vanish.
+    """
+    P, D = means.shape
+    C = values.shape[1]
+    E = state.num_entries
+    Ep = _round_up(E, block_e)
+
+    gid = _pad_axis(state.ent_gid, 0, Ep)
+    gid = jnp.where(jnp.arange(Ep) >= E, P, gid)
+    tile = _pad_axis(state.ent_tile, 1, Ep)
+    tile = jnp.where(jnp.arange(Ep)[None, :] >= E, jnp.int32(2**30), tile)
+
+    means_p = jnp.concatenate([means, jnp.zeros((1, D), means.dtype)], 0)
+    values_p = jnp.concatenate([values, jnp.zeros((1, C), values.dtype)], 0)
+    conics_p = jnp.concatenate([conics, jnp.zeros((1, conics.shape[1]), conics.dtype)], 0)
+
+    ent_means = means_p[gid].T        # (D, Ep)
+    ent_values = values_p[gid]        # (Ep, C)
+    ent_conics = conics_p[gid].T      # (tri, Ep)
+    return gid, tile, ent_means, ent_values, ent_conics, Ep
+
+
+def _sorted_samples(state: BinningState, samples, block_n: int):
+    N, D = samples.shape
+    Np = _round_up(N, block_n)
+    s_sorted = samples[state.s_perm].T  # (D, N)
+    s_sorted = _pad_axis(s_sorted, 1, Np)
+    s_tile = _pad_axis(state.s_tile, 1, Np)
+    s_tile = jnp.where(jnp.arange(Np)[None, :] >= N, jnp.int32(2**30 + 1), s_tile)
+    return s_sorted, s_tile, Np
+
+
+def _pair_block_tiled(means_ref, conics_ref, samples_ref, ent_tile_ref,
+                      s_tile_ref, period, D):
+    tri = tri_size(D)
+    Xs = []
+    for d in range(D):
+        mu_d = means_ref[d, :][None, :]
+        x_d = samples_ref[d, :][:, None]
+        Xs.append(formulas.wrap(mu_d - x_d, period))
+    con = [conics_ref[t, :][None, :] for t in range(tri)]
+    G, a = formulas.power_terms(Xs, con)
+    mask = s_tile_ref[0, :][:, None] == ent_tile_ref[0, :][None, :]
+    G = G * mask.astype(G.dtype)
+    return Xs, con, G, a
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _tiled_forward_kernel(orders, period, D, C,
+                          base_ref, nblk_ref,
+                          means_ref, conics_ref, values_ref, ent_tile_ref,
+                          samples_ref, s_tile_ref, out_ref):
+    i, w = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(w == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(w < nblk_ref[i])
+    def _compute():
+        Xs, con, G, a = _pair_block_tiled(
+            means_ref, conics_ref, samples_ref, ent_tile_ref, s_tile_ref,
+            period, D,
+        )
+        values = values_ref[...]
+        k0 = 0
+        for order in orders:
+            comps = formulas.components(order, Xs, con, G, a)
+            for k, wgt in enumerate(comps):
+                out_ref[:, k0 + k, :] += jnp.dot(
+                    wgt, values, preferred_element_type=jnp.float32
+                )
+            k0 += len(comps)
+
+
+def tiled_forward(
+    orders: Tuple[str, ...],
+    period: Optional[float],
+    means, values, conics, samples,
+    state: BinningState,
+    base: jnp.ndarray,     # (NB,) entry-block base per sample block
+    nblk: jnp.ndarray,     # (NB,) entry-block sweep length per sample block
+    work_blocks: int,      # static sweep cap (>= max(nblk) for exactness)
+    *,
+    block_n: int = 256,
+    block_e: int = 512,
+) -> jnp.ndarray:
+    """Stacked (N, K, C) outputs in ORIGINAL sample order."""
+    N, D = samples.shape
+    P, C = values.shape
+    K = sum(n_components(o, D) for o in orders)
+    tri = tri_size(D)
+
+    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = _gather_entries(
+        state, means, values, conics, block_e
+    )
+    s_sorted, s_tile, Np = _sorted_samples(state, samples, block_n)
+    NB = Np // block_n
+    EBmax = Ep // block_e
+    base = jnp.clip(_pad_axis(base, 0, NB), 0, EBmax - 1)
+    nblk = _pad_axis(nblk, 0, NB)
+
+    def eidx(i, w, base_ref, nblk_ref):
+        return (0, jnp.minimum(base_ref[i] + w, EBmax - 1))
+
+    def eidx_rows(i, w, base_ref, nblk_ref):
+        return (jnp.minimum(base_ref[i] + w, EBmax - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB, work_blocks),
+        in_specs=[
+            pl.BlockSpec((D, block_e), eidx),
+            pl.BlockSpec((tri, block_e), eidx),
+            pl.BlockSpec((block_e, C), eidx_rows),
+            pl.BlockSpec((1, block_e), eidx),
+            pl.BlockSpec((D, block_n), lambda i, w, b, n: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i, w, b, n: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((block_n, K, C), lambda i, w, b, n: (i, 0, 0)),
+    )
+
+    out_sorted = pl.pallas_call(
+        functools.partial(_tiled_forward_kernel, orders, period, D, C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, K, C), jnp.float32),
+        interpret=_interpret(),
+    )(base, nblk, ent_means, ent_conics, ent_values, ent_tile, s_sorted, s_tile)
+
+    # Un-sort back to caller order: sorted row r holds sample s_perm[r].
+    inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    return out_sorted[:N][inv]
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _tiled_backward_kernel(orders, period, D, C,
+                           base_ref, nblk_ref,
+                           means_ref, conics_ref, values_ref, ent_tile_ref,
+                           samples_ref, s_tile_ref, g_ref,
+                           dmeans_ref, dvalues_ref, dconics_ref):
+    j, w = pl.program_id(0), pl.program_id(1)
+    tri = tri_size(D)
+
+    @pl.when(w == 0)
+    def _init():
+        dmeans_ref[...] = jnp.zeros_like(dmeans_ref)
+        dvalues_ref[...] = jnp.zeros_like(dvalues_ref)
+        dconics_ref[...] = jnp.zeros_like(dconics_ref)
+
+    @pl.when(w < nblk_ref[j])
+    def _compute():
+        Xs, con, G, a = _pair_block_tiled(
+            means_ref, conics_ref, samples_ref, ent_tile_ref, s_tile_ref,
+            period, D,
+        )
+        k0 = 0
+        for order in orders:
+            nk = n_components(order, D)
+            comps = formulas.components(order, Xs, con, G, a)
+            hs = []
+            for k in range(nk):
+                h = None
+                for c in range(C):
+                    g_nc = g_ref[:, k0 + k, c][:, None]   # (BS, 1)
+                    v_c = values_ref[:, c][None, :]       # (1, BG)
+                    dvalues_ref[:, c] += jnp.sum(comps[k] * g_nc, axis=0)
+                    h = g_nc * v_c if h is None else h + g_nc * v_c
+                hs.append(h)
+            dmu, dcon = formulas.vjp_params(order, Xs, con, G, a, hs)
+            for d in range(D):
+                dmeans_ref[d, :] += jnp.sum(dmu[d], axis=0)
+            for t in range(tri):
+                dconics_ref[t, :] += jnp.sum(dcon[t], axis=0)
+            k0 += nk
+
+
+def tiled_backward(
+    orders: Tuple[str, ...],
+    period: Optional[float],
+    means, values, conics, samples,
+    g: jnp.ndarray,        # (N, K, C) stacked cotangents, original order
+    state: BinningState,
+    base: jnp.ndarray,     # (EB,) sample-block base per entry block
+    nblk: jnp.ndarray,     # (EB,) sample-block sweep length per entry block
+    work_blocks: int,
+    *,
+    block_n: int = 128,
+    block_e: int = 256,
+):
+    """Deterministic per-entry gradients + segment-sum by gaussian id."""
+    N, D = samples.shape
+    P, C = values.shape
+    K = sum(n_components(o, D) for o in orders)
+    tri = tri_size(D)
+
+    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = _gather_entries(
+        state, means, values, conics, block_e
+    )
+    s_sorted, s_tile, Np = _sorted_samples(state, samples, block_n)
+    g_sorted = _pad_axis(g[state.s_perm], 0, Np)
+
+    EB = Ep // block_e
+    NBmax = Np // block_n
+    base = jnp.clip(_pad_axis(base, 0, EB), 0, NBmax - 1)
+    nblk = _pad_axis(nblk, 0, EB)
+
+    def sidx(j, w, base_ref, nblk_ref):
+        return (0, jnp.minimum(base_ref[j] + w, NBmax - 1))
+
+    def sidx_rows(j, w, base_ref, nblk_ref):
+        return (jnp.minimum(base_ref[j] + w, NBmax - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(EB, work_blocks),
+        in_specs=[
+            pl.BlockSpec((D, block_e), lambda j, w, b, n: (0, j)),
+            pl.BlockSpec((tri, block_e), lambda j, w, b, n: (0, j)),
+            pl.BlockSpec((block_e, C), lambda j, w, b, n: (j, 0)),
+            pl.BlockSpec((1, block_e), lambda j, w, b, n: (0, j)),
+            pl.BlockSpec((D, block_n), sidx),
+            pl.BlockSpec((1, block_n), sidx),
+            pl.BlockSpec((block_n, K, C), sidx_rows),
+        ],
+        out_specs=[
+            pl.BlockSpec((D, block_e), lambda j, w, b, n: (0, j)),
+            pl.BlockSpec((block_e, C), lambda j, w, b, n: (j, 0)),
+            pl.BlockSpec((tri, block_e), lambda j, w, b, n: (0, j)),
+        ],
+    )
+
+    d_ent_means, d_ent_values, d_ent_conics = pl.pallas_call(
+        functools.partial(_tiled_backward_kernel, orders, period, D, C),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((D, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((Ep, C), jnp.float32),
+            jax.ShapeDtypeStruct((tri, Ep), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(base, nblk, ent_means, ent_conics, ent_values, ent_tile, s_sorted,
+      s_tile, g_sorted)
+
+    # Deterministic scatter: segment-sum entry gradients by gaussian id
+    # (replaces backward.cu's atomicAdd on dL_dmeans/values/conics).
+    seg = functools.partial(
+        jax.ops.segment_sum, segment_ids=gid, num_segments=P + 1
+    )
+    d_means = seg(d_ent_means.T)[:P]
+    d_values = seg(d_ent_values)[:P]
+    d_conics = seg(d_ent_conics.T)[:P]
+    return d_means, d_values, d_conics

@@ -173,6 +173,54 @@ def _sample_pallas_multi_bwd(orders, period, res, gs):
 sample_pallas_multi.defvjp(_sample_pallas_multi_fwd, _sample_pallas_multi_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Tile-binned path (binning/ + kernels/tiled.py)
+# ---------------------------------------------------------------------------
+
+
+def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
+                       means, values, conics, samples, state,
+                       fwd_geom, bwd_geom,
+                       fwd_work_blocks: int, bwd_work_blocks: int,
+                       *, block_n: int = 256, block_e: int = 512,
+                       bwd_block_n: int = 128, bwd_block_e: int = 256):
+    """Fused multi-order evaluation over a prebuilt BinningState.
+
+    ``state``/geometry come from binning.grid (build + forward_geometry +
+    backward_geometry).  The work-block caps are static; exactness requires
+    them to cover max(nblocks) (checked by ops.required_work_blocks).
+    Gradients flow to (means, values, conics) only - the reference's autograd
+    contract (__init__.py:113-126).
+    """
+    from ..kernels import tiled as ktiled
+
+    N, D = samples.shape
+    C = values.shape[1]
+    fb, fn = fwd_geom
+    bb, bn = bwd_geom
+
+    @jax.custom_vjp
+    def f(m, v, c):
+        return ktiled.tiled_forward(
+            orders, period, m, v, c, samples, state, fb, fn,
+            fwd_work_blocks, block_n=block_n, block_e=block_e,
+        )
+
+    def f_fwd(m, v, c):
+        return f(m, v, c), (m, v, c)
+
+    def f_bwd(res, g):
+        m, v, c = res
+        return ktiled.tiled_backward(
+            orders, period, m, v, c, samples, g, state, bb, bn,
+            bwd_work_blocks, block_n=bwd_block_n, block_e=bwd_block_e,
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    stacked = f(means, values, conics)
+    return _split_orders(orders, stacked, N, D, C)
+
+
 def sample(order: str, means, values, conics, samples, *,
            period: Optional[float] = 2.0, method: str = "pallas"):
     """Public single-order entry point.

@@ -73,7 +73,12 @@ def radii(covariances: jnp.ndarray, D: int, radius_sigma: float = 3.0) -> jnp.nd
         mid = 0.5 * (cov[:, 0] + cov[:, 2])
         lam = mid + jnp.sqrt(jnp.maximum(1e-6, mid * mid - det))
         r = radius_sigma * jnp.sqrt(jnp.maximum(lam, 0.0))
-        return jnp.where(det == 0.0, 0.0, r)
+        # Reference culls det == 0 exactly (forward.cu:55-57); under XLA the
+        # product fuses into an FMA whose rounding differs from eager mode, so
+        # an exactly-singular matrix can yield det = +/-eps.  Use a relative
+        # epsilon so the cull is robust to fusion.
+        scale = jnp.abs(cov[:, 0] * cov[:, 2]) + cov[:, 1] ** 2 + 1e-30
+        return jnp.where(jnp.abs(det) <= 1e-6 * scale, 0.0, r)
     if D == 3:
         # Packed [c00,c01,c02,c11,c12,c22].
         A00, A01, A02, A11, A12, A22 = (cov[:, t] for t in range(6))

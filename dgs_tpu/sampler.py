@@ -1,0 +1,131 @@
+"""Stateful GaussianSampler facade - the reference-shaped public API.
+
+Drop-in analogue of the reference's ``GaussianSampler`` (__init__.py:214-317):
+``preprocess`` builds the binning acceleration structure once, the four
+``sample_gaussians*`` methods evaluate over it, ``preprocess_aggregate`` /
+``aggregate_neighbors`` drive the neighbor-attention subsystem.  Added beyond
+the reference: ``sample_all`` (fused multi-order, one pairwise pass instead of
+four kernel launches) and ``method`` selection (tiled / pallas-dense / XLA
+dense).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SamplerConfig
+from .binning import grid as binning
+from .ops import sampling
+from .ops import aggregation
+from .utils.debug import snapshot_call
+
+
+def _bucket(x: int, minimum: int = 1) -> int:
+    """Round up to a power of two to bound recompilation."""
+    x = max(int(x), minimum)
+    return 1 << (x - 1).bit_length()
+
+
+class GaussianSampler:
+    def __init__(self, debug: bool = False,
+                 config: SamplerConfig = SamplerConfig(),
+                 method: str = "tiled"):
+        self.debug = debug
+        self.config = config
+        self.method = method
+
+    # -- sampling ----------------------------------------------------------
+
+    def preprocess(self, means, values, covariances, conics, samples):
+        """Build and store the acceleration structure
+        (reference preprocess, __init__.py:218-233)."""
+        P, D = means.shape
+        cfg = self.config.with_dims(D)
+        self.config = cfg
+        self.means, self.values, self.conics = means, values, conics
+        self.covariances, self.samples = covariances, samples
+
+        if self.method == "tiled":
+            state = snapshot_call(
+                self.debug, "preprocess", binning.build, cfg, means,
+                covariances, samples,
+            )
+            self.state = state
+            self.radii = state.radii
+            if self.debug and int(jax.device_get(state.overflow)) > 0:
+                raise ValueError(
+                    f"binning overflow: {int(jax.device_get(state.overflow))} "
+                    f"Gaussians exceed max_tiles_per_gaussian="
+                    f"{cfg.max_tiles_per_gaussian}; raise it in SamplerConfig"
+                )
+            bn, be = cfg.block_n, cfg.block_p
+            bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
+            self._fwd_geom = binning.forward_geometry(state, bn, be)
+            self._bwd_geom = binning.backward_geometry(state, bbe, bbn)
+            self._fwd_work = _bucket(int(jax.device_get(self._fwd_geom[1].max())))
+            self._bwd_work = _bucket(int(jax.device_get(self._bwd_geom[1].max())))
+            self._blocks = (bn, be, bbn, bbe)
+        else:
+            from .oracle.dense import radii as compute_radii
+
+            self.state = None
+            self.radii = compute_radii(covariances, D, cfg.radius_sigma)
+
+    def _run(self, orders) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        if self.method == "tiled":
+            bn, be, bbn, bbe = self._blocks
+            outs = snapshot_call(
+                self.debug, "sample", sampling.sample_tiled_multi,
+                tuple(orders), cfg.period, self.means, self.values,
+                self.conics, self.samples, self.state, self._fwd_geom,
+                self._bwd_geom, self._fwd_work, self._bwd_work,
+                block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
+            )
+            return dict(zip(orders, outs))
+        return sampling.sample_all(
+            self.means, self.values, self.conics, self.samples,
+            period=cfg.period, orders=orders,
+            method="pallas" if self.method == "pallas" else "dense",
+        )
+
+    def sample_gaussians(self):
+        return self._run(("value",))["value"]
+
+    def sample_gaussians_derivative(self):
+        return self._run(("derivative",))["derivative"]
+
+    def sample_gaussians_laplacian(self):
+        return self._run(("laplacian",))["laplacian"]
+
+    def sample_gaussians_third_derivative(self):
+        return self._run(("third",))["third"]
+
+    def sample_all(self, orders=sampling.ALL_ORDERS):
+        """Fused evaluation of several orders in one pairwise pass."""
+        return self._run(tuple(orders))
+
+    # -- neighbor aggregation ---------------------------------------------
+
+    def preprocess_aggregate(self, neighbor_capacity: Optional[int] = None):
+        """Build neighbor lists (reference preprocess_aggregate,
+        __init__.py:291-301)."""
+        agg = snapshot_call(
+            self.debug, "preprocess_agg", aggregation.preprocess,
+            self.config, self.means, self.conics, self.radii,
+            neighbor_capacity,
+        )
+        self.neighbors = agg
+        return agg
+
+    def aggregate_neighbors(self, features, transform, queries, keys,
+                            frequencies, distance_transform):
+        return snapshot_call(
+            self.debug, "aggregate", aggregation.aggregate,
+            features, transform, queries, keys, frequencies,
+            distance_transform, self.neighbors,
+        )

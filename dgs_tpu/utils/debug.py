@@ -1,0 +1,52 @@
+"""Debug and crash-forensics utilities.
+
+TPU-native equivalent of the reference's debug machinery: the ``debug`` flag
+threaded through every op (__init__.py:215-216) enabling synchronous error
+checks (CHECK_CUDA, auxiliary.h:33-40) and the pre-call CPU snapshot dumped on
+exception (cpu_deep_copy_tuple + torch.save, __init__.py:17-19, 38-50).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def snapshot_call(debug: bool, name: str, fn, *args: Any, **kwargs: Any):
+    """Run ``fn`` and on failure dump host copies of the inputs.
+
+    Mirrors call_debug (__init__.py:38-50): inputs are copied to host *before*
+    the call so device-side corruption cannot reach the dump; the snapshot is
+    written to ``snapshot_<name>.npz``.
+    """
+    if not debug:
+        return fn(*args, **kwargs)
+    host_args = [
+        np.asarray(jax.device_get(a)) if hasattr(a, "shape") else a for a in args
+    ]
+    try:
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)  # surface async device errors here
+        return out
+    except Exception:
+        path = f"snapshot_{name}.npz"
+        np.savez(path, **{f"arg{i}": a for i, a in enumerate(host_args)})
+        print(
+            f"\nAn error occured in {name}. "
+            f"Please forward {path} for debugging."
+        )
+        raise
+
+
+def check_finite(name: str, tree) -> None:
+    """Eager NaN/Inf probe over a pytree (the reference's ad-hoc NaN check,
+    __init__.py:185-188, done properly)."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(jax.device_get(leaf))
+        if np.issubdtype(arr.dtype, np.floating) and not np.isfinite(arr).all():
+            raise FloatingPointError(
+                f"non-finite values in {name}{jax.tree_util.keystr(path)}"
+            )

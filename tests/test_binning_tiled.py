@@ -1,0 +1,159 @@
+"""Tile binning + tiled Pallas kernels vs the masked oracle.
+
+The binning decides exactly which (sample, gaussian) pairs interact (a pair
+counts iff the Gaussian's 3-sigma rect covers the sample's tile - the
+reference's pairing, sampler_impl.cu:54-129 + forward.cu:104-144).  The tiled
+kernels must reproduce the oracle restricted to that same pair mask bit-for-
+tolerance, including torus-wrapped tiles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgs_tpu.config import SamplerConfig
+from dgs_tpu.binning import grid as binning
+from dgs_tpu.oracle import dense as oracle
+from dgs_tpu.ops import sampling
+
+from conftest import make_gaussians, make_samples
+
+ORDERS = ("value", "derivative", "laplacian", "third")
+
+
+def _setup(rng, P, N, D, C=3, **kw):
+    means, values, covs, conics = make_gaussians(rng, P, D, C, **kw)
+    samples = make_samples(rng, N, D)
+    return tuple(map(jnp.asarray, (means, values, covs, conics, samples)))
+
+
+def _build(cfg, m, cov, s, block_n=128, block_e=128, bwd_n=64, bwd_e=128):
+    state = binning.build(cfg, m, cov, s)
+    fwd_geom = binning.forward_geometry(state, block_n, block_e)
+    bwd_geom = binning.backward_geometry(state, bwd_e, bwd_n)
+    fwd_work = int(jax.device_get(fwd_geom[1].max()))
+    bwd_work = int(jax.device_get(bwd_geom[1].max()))
+    return state, fwd_geom, bwd_geom, max(fwd_work, 1), max(bwd_work, 1)
+
+
+@pytest.mark.parametrize("D", [1, 2, 3])
+def test_pair_mask_matches_rect_math(rng, D):
+    """Binning pair mask == direct numpy rect-covers-tile computation."""
+    cfg = SamplerConfig(max_tiles_per_gaussian=8).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 29, 41, D)
+    state = binning.build(cfg, m, cov, s)
+    assert int(state.overflow) == 0
+    mask = np.asarray(binning.pair_mask_dense(cfg, state, s, 29))
+
+    grid = cfg.grid_shape()
+    rad = np.asarray(oracle.radii(cov, D))
+    s_np, m_np = np.asarray(s), np.asarray(m)
+    tile_of = np.clip(
+        np.floor((s_np - np.asarray(cfg.lower)) / cfg.tile_size).astype(int),
+        0,
+        np.asarray(grid) - 1,
+    )
+    for n in range(s_np.shape[0]):
+        for p in range(m_np.shape[0]):
+            lo = np.floor(
+                (m_np[p] - np.asarray(cfg.lower) - rad[p]) / cfg.tile_size
+            ).astype(int)
+            hi = np.ceil(
+                (m_np[p] - np.asarray(cfg.lower) + rad[p]) / cfg.tile_size
+            ).astype(int)
+            full = (hi - lo) >= np.asarray(grid)
+            lo[full], hi[full] = 0, np.asarray(grid)[full]
+            covered = all(
+                any(
+                    (t % grid[d]) == tile_of[n, d] for t in range(lo[d], hi[d])
+                )
+                for d in range(D)
+            ) and rad[p] > 0
+            assert mask[n, p] == covered, (n, p)
+
+
+@pytest.mark.parametrize("D", [1, 2, 3])
+def test_tiled_forward_matches_masked_oracle(rng, D):
+    cfg = SamplerConfig(max_tiles_per_gaussian=8).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 43, 67, D)
+    state, fg, bg, fw, bw = _build(cfg, m, cov, s)
+    mask = binning.pair_mask_dense(cfg, state, s, 43)
+    outs = sampling.sample_tiled_multi(
+        ORDERS, cfg.period, m, v, c, s, state, fg, bg, fw, bw,
+        block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+    )
+    for order, got in zip(ORDERS, outs):
+        ref = oracle.evaluate(order, m, v, c, s, pair_mask=mask)
+        np.testing.assert_allclose(
+            got, ref, rtol=2e-4,
+            atol=1e-5 * max(1.0, float(np.abs(ref).max())), err_msg=order,
+        )
+
+
+@pytest.mark.parametrize("D", [1, 2])
+def test_tiled_backward_matches_masked_oracle_autodiff(rng, D):
+    cfg = SamplerConfig(max_tiles_per_gaussian=8).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 31, 37, D)
+    state, fg, bg, fw, bw = _build(cfg, m, cov, s)
+    mask = binning.pair_mask_dense(cfg, state, s, 31)
+
+    def loss_tiled(m_, v_, c_):
+        outs = sampling.sample_tiled_multi(
+            ORDERS, cfg.period, m_, v_, c_, s, state, fg, bg, fw, bw,
+            block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+        )
+        return sum(jnp.sum(o**2) for o in outs)
+
+    def loss_oracle(m_, v_, c_):
+        return sum(
+            jnp.sum(oracle.evaluate(o, m_, v_, c_, s, pair_mask=mask) ** 2)
+            for o in ORDERS
+        )
+
+    ref = jax.grad(loss_oracle, argnums=(0, 1, 2))(m, v, c)
+    got = jax.grad(loss_tiled, argnums=(0, 1, 2))(m, v, c)
+    for r, o, name in zip(ref, got, ("means", "values", "conics")):
+        np.testing.assert_allclose(
+            o, r, rtol=2e-3,
+            atol=1e-5 * max(1.0, float(np.abs(r).max())),
+            err_msg=f"dL_d{name}",
+        )
+
+
+def test_tiled_equals_dense_for_wide_gaussians(rng):
+    """Gaussians whose rects cover the whole grid: tiled == unmasked dense."""
+    cfg = SamplerConfig(max_tiles_per_gaussian=8)
+    m, v, cov, c, s = _setup(rng, 9, 21, 2, sigma_range=(0.9, 1.2))
+    state, fg, bg, fw, bw = _build(cfg, m, cov, s)
+    outs = sampling.sample_tiled_multi(
+        ("value",), cfg.period, m, v, c, s, state, fg, bg, fw, bw,
+        block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+    )
+    ref = oracle.evaluate("value", m, v, c, s)
+    np.testing.assert_allclose(outs[0], ref, rtol=2e-4, atol=1e-5)
+
+
+def test_overflow_detection(rng):
+    """Footprints beyond the static duplicate capacity are counted."""
+    cfg = SamplerConfig(max_tiles_per_gaussian=1)
+    m, v, cov, c, s = _setup(rng, 7, 5, 2, sigma_range=(0.5, 0.8))
+    state = binning.build(cfg, m, cov, s)
+    assert int(state.overflow) > 0
+
+
+def test_culled_zero_radius_gaussian(rng):
+    """det == 0 covariance -> zero radius -> no contribution
+    (forward.cu:55-57, sampler_impl.cu:69)."""
+    cfg = SamplerConfig()
+    m, v, cov, c, s = _setup(rng, 5, 11, 2)
+    cov = cov.at[2].set(jnp.array([0.01, 0.01, 0.01]))  # det == 0
+    state, fg, bg, fw, bw = _build(cfg, m, cov, s)
+    outs = sampling.sample_tiled_multi(
+        ("value",), cfg.period, m, v, c, s, state, fg, bg, fw, bw,
+        block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+    )
+    mask = binning.pair_mask_dense(cfg, state, s, 5)
+    assert not bool(mask[:, 2].any())
+    ref = oracle.evaluate("value", m, v, c, s, pair_mask=mask)
+    np.testing.assert_allclose(outs[0], ref, rtol=2e-4, atol=1e-5)

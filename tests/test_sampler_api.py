@@ -1,0 +1,81 @@
+"""GaussianSampler facade: the reference-shaped stateful API end-to-end."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgs_tpu.config import SamplerConfig
+from dgs_tpu.sampler import GaussianSampler
+from dgs_tpu.oracle import dense as oracle
+from dgs_tpu.binning import grid as binning
+
+from conftest import make_gaussians, make_samples
+
+
+def test_facade_preprocess_and_sample(rng):
+    means, values, covs, conics = make_gaussians(rng, 33, 2, 3)
+    samples = make_samples(rng, 47, 2)
+    m, v, cov, c, s = map(jnp.asarray, (means, values, covs, conics, samples))
+
+    sampler = GaussianSampler(debug=True)
+    sampler.preprocess(m, v, cov, c, s)
+    mask = binning.pair_mask_dense(sampler.config, sampler.state, s, 33)
+
+    checks = [
+        ("value", sampler.sample_gaussians()),
+        ("derivative", sampler.sample_gaussians_derivative()),
+        ("laplacian", sampler.sample_gaussians_laplacian()),
+        ("third", sampler.sample_gaussians_third_derivative()),
+    ]
+    for order, got in checks:
+        ref = oracle.evaluate(order, m, v, c, s, pair_mask=mask)
+        np.testing.assert_allclose(
+            got, ref, rtol=2e-4,
+            atol=1e-5 * max(1.0, float(np.abs(ref).max())), err_msg=order,
+        )
+
+    fused = sampler.sample_all()
+    for order, got in checks:
+        np.testing.assert_allclose(fused[order], got, rtol=1e-5, atol=1e-6)
+
+
+def test_facade_aggregation_path(rng):
+    means, values, covs, conics = make_gaussians(
+        rng, 21, 2, 3, sigma_range=(0.1, 0.3)
+    )
+    samples = make_samples(rng, 13, 2)
+    m, v, cov, c, s = map(jnp.asarray, (means, values, covs, conics, samples))
+
+    sampler = GaussianSampler()
+    sampler.preprocess(m, v, cov, c, s)
+    sampler.preprocess_aggregate(neighbor_capacity=32)
+
+    L, K, E = 4, 3, 9
+    r = np.random.default_rng(3)
+    nf = sampler.aggregate_neighbors(
+        jnp.asarray(r.normal(size=(21, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(L, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(21, K)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(21, K)).astype(np.float32)),
+        jnp.asarray(r.uniform(0.5, 2.0, (2,)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(2 * E,)).astype(np.float32)),
+    )
+    assert nf.shape == (21, L)
+    assert np.isfinite(np.asarray(nf)).all()
+
+
+def test_facade_dense_method_matches_tiled_masked(rng):
+    means, values, covs, conics = make_gaussians(
+        rng, 15, 2, 2, sigma_range=(0.8, 1.1)
+    )
+    samples = make_samples(rng, 25, 2)
+    m, v, cov, c, s = map(jnp.asarray, (means, values, covs, conics, samples))
+
+    tiled = GaussianSampler(method="tiled")
+    tiled.preprocess(m, v, cov, c, s)
+    dense = GaussianSampler(method="dense")
+    dense.preprocess(m, v, cov, c, s)
+    # wide gaussians cover every tile -> tiled == dense exactly
+    np.testing.assert_allclose(
+        tiled.sample_gaussians(), dense.sample_gaussians(), rtol=2e-4, atol=1e-5
+    )
