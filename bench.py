@@ -1,0 +1,101 @@
+"""Headline benchmark: Gaussian point-samples/sec/chip, fused fwd+bwd.
+
+BASELINE.json config 3: 100k Gaussians, 1M samples, fused value + derivative
++ Hessian forward/backward through the tiled Pallas path, including per-step
+re-binning (the reference re-bins every step too - SURVEY.md 3.5).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured throughput / the target recorded in BASELINE.md
+(50M samples/s/chip - see "Targets" there; the reference publishes no numbers,
+BASELINE.json "published": {}).
+
+Env overrides: BENCH_P, BENCH_N, BENCH_STEPS, BENCH_METHOD, BENCH_TILE.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dgs_tpu.config import SamplerConfig
+from dgs_tpu.models.field import init_field
+from dgs_tpu.models.pigs import field_outputs
+
+TARGET_SAMPLES_PER_SEC = 50e6  # recorded target, see BASELINE.md
+
+ORDERS = ("value", "derivative", "laplacian")
+
+
+def main():
+    P = int(os.environ.get("BENCH_P", 100_000))
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    method = os.environ.get("BENCH_METHOD", "tiled")
+    tile = float(os.environ.get("BENCH_TILE", 0.51))
+    D, C = 2, 4
+
+    cfg = SamplerConfig(
+        tile_size=tile, work_blocks_fwd=64, work_blocks_bwd=128,
+        max_tiles_per_gaussian=2,
+        eig_floor=float(os.environ.get("BENCH_EIG_FLOOR", 1e-12)),
+    )
+    # sigma ~ 2/sqrt(P): footprints a few tiles wide at 100k Gaussians.
+    sigma = float(os.environ.get("BENCH_SIGMA", 2.0 / max(P, 1) ** 0.5))
+    field = init_field(jax.random.PRNGKey(0), P, D, C, sigma=sigma)
+    samples = jax.random.uniform(
+        jax.random.PRNGKey(1), (N, D), minval=-1.0, maxval=1.0
+    )
+
+    def loss_fn(field, samples):
+        outs, diag = field_outputs(cfg, field, samples, orders=ORDERS,
+                                   method=method)
+        loss = sum(jnp.sum(o * o) for o in outs.values())
+        return loss, diag
+
+    @jax.jit
+    def step(field, samples):
+        (loss, diag), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(field, samples)
+        return loss, diag, grads
+
+    # Warmup / compile.
+    loss, diag, grads = step(field, samples)
+    jax.block_until_ready(grads)
+    overflow = {k: int(v) for k, v in diag.items()}
+    if any(overflow.values()):
+        print(f"WARNING: overflow diagnostics {overflow}", file=sys.stderr)
+
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        loss, diag, grads = step(field, samples)
+        jax.block_until_ready(grads)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    samples_per_sec = N / dt
+
+    print(json.dumps({
+        "metric": "gaussian_point_samples_per_sec_per_chip_fwd_bwd",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 4),
+    }))
+    print(
+        json.dumps({
+            "detail": {
+                "P": P, "N": N, "D": D, "C": C, "orders": ORDERS,
+                "method": method, "median_step_s": round(dt, 5),
+                "sigma": round(sigma, 5), "tile": tile,
+                "backend": jax.default_backend(),
+                "overflow": overflow,
+            }
+        }),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,6 @@ def gaussian_rects(cfg: SamplerConfig, means: jnp.ndarray, radii: jnp.ndarray):
     return lo, hi
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def build(
     cfg: SamplerConfig,
     means: jnp.ndarray,       # (P, D)
@@ -136,7 +135,7 @@ def build(
     R = cfg.max_tiles_per_gaussian
     dup = R**D
 
-    rad = compute_radii(covariances, D, cfg.radius_sigma)
+    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
     lo, hi = gaussian_rects(cfg, means, rad)
     extent = hi - lo  # (P, D)
     overflow = jnp.sum(
@@ -192,6 +191,11 @@ def build(
     )
 
 
+# Jitted alias for eager/facade use.  ``build`` itself stays un-jitted so it
+# can be traced inside shard_map / outer jits without nesting issues.
+build_jit = jax.jit(build, static_argnums=(0,))
+
+
 def pair_mask_dense(cfg: SamplerConfig, state: BinningState,
                     samples: jnp.ndarray, P: int) -> jnp.ndarray:
     """Dense (N, P) inclusion mask implied by the binning - a pair counts iff
@@ -216,17 +220,21 @@ def _range_geometry(row_tiles, row_block, col_starts, col_block, n_rows):
     columns (also tile-sorted) form the contiguous range
     [col_starts[first_tile], col_starts[last_tile + 1]) - the TPU analogue of
     the reference's per-tile uint2 ranges (identifyTileRanges,
-    sampler_impl.cu:134-151).
+    sampler_impl.cu:134-151).  Sentinel rows (culled duplicates, tile >= T)
+    are excluded via a per-block valid-tile min/max, so a block that straddles
+    the sentinel tail does not blow its sweep up to the whole column list.
     """
     RB = -(-n_rows // row_block)
-    Tmax = col_starts.shape[0] - 1
-    first = jnp.minimum(row_tiles[jnp.arange(RB) * row_block], Tmax)
-    last = jnp.minimum(
-        row_tiles[jnp.minimum(jnp.arange(1, RB + 1) * row_block, n_rows) - 1],
-        Tmax - 1,
+    T = col_starts.shape[0] - 2  # valid tiles are < T
+    pad = RB * row_block - n_rows
+    tiles = jnp.pad(row_tiles, (0, pad), constant_values=T).reshape(
+        RB, row_block
     )
-    lo = col_starts[first]
-    hi = col_starts[last + 1]
+    valid = tiles < T
+    first = jnp.min(jnp.where(valid, tiles, T), axis=1)
+    last = jnp.max(jnp.where(valid, tiles, -1), axis=1)
+    lo = col_starts[first]  # first == T (empty block) -> col_starts[T]
+    hi = jnp.where(last >= 0, col_starts[jnp.maximum(last, 0) + 1], lo)
     base = lo // col_block
     nblocks = jnp.where(hi > lo, -(-(hi - base * col_block) // col_block), 0)
     return base.astype(jnp.int32), nblocks.astype(jnp.int32)

@@ -59,6 +59,11 @@ class SamplerConfig:
     lower: Tuple[float, ...] = (-1.0, -1.0)
     tile_size: float = 0.51
     radius_sigma: float = 3.0
+    # Numerical floor inside the eigenvalue solve for the footprint radius.
+    # The reference hard-codes 1e-6 (forward.cu:59), which inflates the radius
+    # of very small Gaussians to ~3*sqrt(1e-3); lower it for small-sigma
+    # workloads.
+    eig_floor: float = 1e-6
     max_tiles_per_gaussian: int = 4
     tile_gaussian_capacity: int = 1024
     tile_sample_capacity: int = 1024

@@ -13,12 +13,16 @@ tile).
 Backward writes gradients **per entry** (one slot per (gaussian, tile)
 duplicate) and the caller segment-sums by gaussian id - a deterministic
 replacement for the reference's atomicAdd scatter (backward.cu:121-152).
+
+Layouts follow kernels/dense.py: pairwise (samples x entries) =
+(sublanes x lanes); per-entry data transposed; per-component outputs and
+cotangents as separate (N, C) arrays.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import n_components, tri_size
 from ..binning.grid import BinningState
 from ..ops import formulas
-from .dense import _interpret, _pad_axis, _round_up
+from .dense import (_backward_body, _forward_body, _interpret, _pad_axis,
+                    _round_up, total_components)
 
 
 def _gather_entries(state: BinningState, means, values, conics, block_e: int):
@@ -49,7 +54,9 @@ def _gather_entries(state: BinningState, means, values, conics, block_e: int):
 
     means_p = jnp.concatenate([means, jnp.zeros((1, D), means.dtype)], 0)
     values_p = jnp.concatenate([values, jnp.zeros((1, C), values.dtype)], 0)
-    conics_p = jnp.concatenate([conics, jnp.zeros((1, conics.shape[1]), conics.dtype)], 0)
+    conics_p = jnp.concatenate(
+        [conics, jnp.zeros((1, conics.shape[1]), conics.dtype)], 0
+    )
 
     ent_means = means_p[gid].T        # (D, Ep)
     ent_values = values_p[gid]        # (Ep, C)
@@ -67,19 +74,10 @@ def _sorted_samples(state: BinningState, samples, block_n: int):
     return s_sorted, s_tile, Np
 
 
-def _pair_block_tiled(means_ref, conics_ref, samples_ref, ent_tile_ref,
-                      s_tile_ref, period, D):
-    tri = tri_size(D)
-    Xs = []
-    for d in range(D):
-        mu_d = means_ref[d, :][None, :]
-        x_d = samples_ref[d, :][:, None]
-        Xs.append(formulas.wrap(mu_d - x_d, period))
-    con = [conics_ref[t, :][None, :] for t in range(tri)]
-    G, a = formulas.power_terms(Xs, con)
-    mask = s_tile_ref[0, :][:, None] == ent_tile_ref[0, :][None, :]
-    G = G * mask.astype(G.dtype)
-    return Xs, con, G, a
+def _tile_mask(s_tile_ref, ent_tile_ref):
+    return (
+        s_tile_ref[0, :][:, None] == ent_tile_ref[0, :][None, :]
+    ).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -90,28 +88,21 @@ def _pair_block_tiled(means_ref, conics_ref, samples_ref, ent_tile_ref,
 def _tiled_forward_kernel(orders, period, D, C,
                           base_ref, nblk_ref,
                           means_ref, conics_ref, values_ref, ent_tile_ref,
-                          samples_ref, s_tile_ref, out_ref):
+                          samples_ref, s_tile_ref, *out_refs):
     i, w = pl.program_id(0), pl.program_id(1)
 
     @pl.when(w == 0)
     def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for o in out_refs:
+            o[...] = jnp.zeros_like(o)
 
     @pl.when(w < nblk_ref[i])
     def _compute():
-        Xs, con, G, a = _pair_block_tiled(
-            means_ref, conics_ref, samples_ref, ent_tile_ref, s_tile_ref,
-            period, D,
+        _forward_body(
+            orders, period, D, C, means_ref, conics_ref, values_ref,
+            samples_ref, out_refs,
+            mask_fn=lambda: _tile_mask(s_tile_ref, ent_tile_ref),
         )
-        values = values_ref[...]
-        k0 = 0
-        for order in orders:
-            comps = formulas.components(order, Xs, con, G, a)
-            for k, wgt in enumerate(comps):
-                out_ref[:, k0 + k, :] += jnp.dot(
-                    wgt, values, preferred_element_type=jnp.float32
-                )
-            k0 += len(comps)
 
 
 def tiled_forward(
@@ -125,11 +116,11 @@ def tiled_forward(
     *,
     block_n: int = 256,
     block_e: int = 512,
-) -> jnp.ndarray:
-    """Stacked (N, K, C) outputs in ORIGINAL sample order."""
+) -> List[jnp.ndarray]:
+    """Per-component (N, C) outputs in ORIGINAL sample order."""
     N, D = samples.shape
     P, C = values.shape
-    K = sum(n_components(o, D) for o in orders)
+    K = total_components(orders, D)
     tri = tri_size(D)
 
     gid, ent_tile, ent_means, ent_values, ent_conics, Ep = _gather_entries(
@@ -141,11 +132,19 @@ def tiled_forward(
     base = jnp.clip(_pad_axis(base, 0, NB), 0, EBmax - 1)
     nblk = _pad_axis(nblk, 0, NB)
 
+    # Clamp the sweep index at the block's last real entry block: iterations
+    # beyond nblk (predicated off in-kernel) then re-address the same block,
+    # which Pallas recognizes and skips the DMA for - large static work caps
+    # cost only grid overhead, not bandwidth.
+    def _e(i, w, base_ref, nblk_ref):
+        w_eff = jnp.minimum(w, jnp.maximum(nblk_ref[i] - 1, 0))
+        return jnp.minimum(base_ref[i] + w_eff, EBmax - 1)
+
     def eidx(i, w, base_ref, nblk_ref):
-        return (0, jnp.minimum(base_ref[i] + w, EBmax - 1))
+        return (0, _e(i, w, base_ref, nblk_ref))
 
     def eidx_rows(i, w, base_ref, nblk_ref):
-        return (jnp.minimum(base_ref[i] + w, EBmax - 1), 0)
+        return (_e(i, w, base_ref, nblk_ref), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -158,13 +157,18 @@ def tiled_forward(
             pl.BlockSpec((D, block_n), lambda i, w, b, n: (0, i)),
             pl.BlockSpec((1, block_n), lambda i, w, b, n: (0, i)),
         ],
-        out_specs=pl.BlockSpec((block_n, K, C), lambda i, w, b, n: (i, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((block_n, C), lambda i, w, b, n: (i, 0))
+            for _ in range(K)
+        ],
     )
 
-    out_sorted = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_tiled_forward_kernel, orders, period, D, C),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Np, K, C), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, C), jnp.float32) for _ in range(K)
+        ],
         interpret=_interpret(),
     )(base, nblk, ent_means, ent_conics, ent_values, ent_tile, s_sorted, s_tile)
 
@@ -172,7 +176,7 @@ def tiled_forward(
     inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
         jnp.arange(N, dtype=jnp.int32)
     )
-    return out_sorted[:N][inv]
+    return [o[:N][inv] for o in outs]
 
 
 # ---------------------------------------------------------------------------
@@ -180,13 +184,12 @@ def tiled_forward(
 # ---------------------------------------------------------------------------
 
 
-def _tiled_backward_kernel(orders, period, D, C,
-                           base_ref, nblk_ref,
-                           means_ref, conics_ref, values_ref, ent_tile_ref,
-                           samples_ref, s_tile_ref, g_ref,
-                           dmeans_ref, dvalues_ref, dconics_ref):
+def _tiled_backward_kernel(orders, period, D, C, K, base_ref, nblk_ref, *refs):
+    (means_ref, conics_ref, values_t_ref, ent_tile_ref, samples_ref,
+     s_tile_ref) = refs[:6]
+    g_refs = refs[6 : 6 + K]
+    dmeans_ref, dvalues_ref, dconics_ref = refs[6 + K :]
     j, w = pl.program_id(0), pl.program_id(1)
-    tri = tri_size(D)
 
     @pl.when(w == 0)
     def _init():
@@ -196,36 +199,18 @@ def _tiled_backward_kernel(orders, period, D, C,
 
     @pl.when(w < nblk_ref[j])
     def _compute():
-        Xs, con, G, a = _pair_block_tiled(
-            means_ref, conics_ref, samples_ref, ent_tile_ref, s_tile_ref,
-            period, D,
+        _backward_body(
+            orders, period, D, C, means_ref, conics_ref, values_t_ref,
+            samples_ref, g_refs, dmeans_ref, dvalues_ref, dconics_ref,
+            mask_fn=lambda: _tile_mask(s_tile_ref, ent_tile_ref),
         )
-        k0 = 0
-        for order in orders:
-            nk = n_components(order, D)
-            comps = formulas.components(order, Xs, con, G, a)
-            hs = []
-            for k in range(nk):
-                h = None
-                for c in range(C):
-                    g_nc = g_ref[:, k0 + k, c][:, None]   # (BS, 1)
-                    v_c = values_ref[:, c][None, :]       # (1, BG)
-                    dvalues_ref[:, c] += jnp.sum(comps[k] * g_nc, axis=0)
-                    h = g_nc * v_c if h is None else h + g_nc * v_c
-                hs.append(h)
-            dmu, dcon = formulas.vjp_params(order, Xs, con, G, a, hs)
-            for d in range(D):
-                dmeans_ref[d, :] += jnp.sum(dmu[d], axis=0)
-            for t in range(tri):
-                dconics_ref[t, :] += jnp.sum(dcon[t], axis=0)
-            k0 += nk
 
 
 def tiled_backward(
     orders: Tuple[str, ...],
     period: Optional[float],
     means, values, conics, samples,
-    g: jnp.ndarray,        # (N, K, C) stacked cotangents, original order
+    gs: Sequence[jnp.ndarray],  # K x (N, C) cotangents, original order
     state: BinningState,
     base: jnp.ndarray,     # (EB,) sample-block base per entry block
     nblk: jnp.ndarray,     # (EB,) sample-block sweep length per entry block
@@ -237,25 +222,31 @@ def tiled_backward(
     """Deterministic per-entry gradients + segment-sum by gaussian id."""
     N, D = samples.shape
     P, C = values.shape
-    K = sum(n_components(o, D) for o in orders)
+    K = total_components(orders, D)
     tri = tri_size(D)
 
     gid, ent_tile, ent_means, ent_values, ent_conics, Ep = _gather_entries(
         state, means, values, conics, block_e
     )
+    ent_values_t = ent_values.T  # (C, Ep)
     s_sorted, s_tile, Np = _sorted_samples(state, samples, block_n)
-    g_sorted = _pad_axis(g[state.s_perm], 0, Np)
+    gs_sorted = [_pad_axis(g[state.s_perm], 0, Np) for g in gs]
 
     EB = Ep // block_e
     NBmax = Np // block_n
     base = jnp.clip(_pad_axis(base, 0, EB), 0, NBmax - 1)
     nblk = _pad_axis(nblk, 0, EB)
 
+    # Same skip-DMA clamp as the forward sweep.
+    def _s(j, w, base_ref, nblk_ref):
+        w_eff = jnp.minimum(w, jnp.maximum(nblk_ref[j] - 1, 0))
+        return jnp.minimum(base_ref[j] + w_eff, NBmax - 1)
+
     def sidx(j, w, base_ref, nblk_ref):
-        return (0, jnp.minimum(base_ref[j] + w, NBmax - 1))
+        return (0, _s(j, w, base_ref, nblk_ref))
 
     def sidx_rows(j, w, base_ref, nblk_ref):
-        return (jnp.minimum(base_ref[j] + w, NBmax - 1), 0, 0)
+        return (_s(j, w, base_ref, nblk_ref), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -263,30 +254,30 @@ def tiled_backward(
         in_specs=[
             pl.BlockSpec((D, block_e), lambda j, w, b, n: (0, j)),
             pl.BlockSpec((tri, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((block_e, C), lambda j, w, b, n: (j, 0)),
+            pl.BlockSpec((C, block_e), lambda j, w, b, n: (0, j)),
             pl.BlockSpec((1, block_e), lambda j, w, b, n: (0, j)),
             pl.BlockSpec((D, block_n), sidx),
             pl.BlockSpec((1, block_n), sidx),
-            pl.BlockSpec((block_n, K, C), sidx_rows),
-        ],
+        ]
+        + [pl.BlockSpec((block_n, C), sidx_rows) for _ in range(K)],
         out_specs=[
             pl.BlockSpec((D, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((block_e, C), lambda j, w, b, n: (j, 0)),
+            pl.BlockSpec((C, block_e), lambda j, w, b, n: (0, j)),
             pl.BlockSpec((tri, block_e), lambda j, w, b, n: (0, j)),
         ],
     )
 
-    d_ent_means, d_ent_values, d_ent_conics = pl.pallas_call(
-        functools.partial(_tiled_backward_kernel, orders, period, D, C),
+    d_ent_means, d_ent_values_t, d_ent_conics = pl.pallas_call(
+        functools.partial(_tiled_backward_kernel, orders, period, D, C, K),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((D, Ep), jnp.float32),
-            jax.ShapeDtypeStruct((Ep, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, Ep), jnp.float32),
             jax.ShapeDtypeStruct((tri, Ep), jnp.float32),
         ],
         interpret=_interpret(),
-    )(base, nblk, ent_means, ent_conics, ent_values, ent_tile, s_sorted,
-      s_tile, g_sorted)
+    )(base, nblk, ent_means, ent_conics, ent_values_t, ent_tile, s_sorted,
+      s_tile, *gs_sorted)
 
     # Deterministic scatter: segment-sum entry gradients by gaussian id
     # (replaces backward.cu's atomicAdd on dL_dmeans/values/conics).
@@ -294,6 +285,6 @@ def tiled_backward(
         jax.ops.segment_sum, segment_ids=gid, num_segments=P + 1
     )
     d_means = seg(d_ent_means.T)[:P]
-    d_values = seg(d_ent_values)[:P]
+    d_values = seg(d_ent_values_t.T)[:P]
     d_conics = seg(d_ent_conics.T)[:P]
     return d_means, d_values, d_conics

@@ -1,0 +1,176 @@
+"""PIGS-style physics-informed training loop (config 4 of BASELINE.json).
+
+Reproduces the downstream usage pattern of the reference (SURVEY.md section
+3.5): per step, bin once, evaluate u / grad u / Hessian u (/ third) at
+collocation points, form a PDE residual loss, and backprop to every Gaussian
+parameter (means, values, and - through the conic chain in models/field.py -
+scales and rotations).
+
+The demo problem is a periodic Poisson equation with a manufactured solution:
+    u*(x) = sum_k a_k * prod_d sin(pi k x_d + phi)     on the period-2 torus
+    -laplace(u) = f := -laplace(u*)
+loss = w_pde * mean((-tr H[u] - f)^2) + w_data * mean((u - u*)^2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SamplerConfig
+from ..ops import sampling
+from .field import GaussianField, init_field
+
+
+def manufactured_solution(D: int, n_modes: int = 3):
+    """Periodic target field and its (negative) Laplacian on [-1,1]^D."""
+    ks = jnp.arange(1, n_modes + 1, dtype=jnp.float32)
+    amps = 1.0 / ks
+
+    def u_star(x):  # (N, D) -> (N, 1)
+        out = 0.0
+        for i in range(n_modes):
+            out = out + amps[i] * jnp.prod(
+                jnp.sin(jnp.pi * ks[i] * x + 0.3 * i), axis=-1
+            )
+        return out[:, None]
+
+    def f_rhs(x):  # -laplace(u*) at x
+        out = 0.0
+        for i in range(n_modes):
+            lam = D * (jnp.pi * ks[i]) ** 2
+            out = out + lam * amps[i] * jnp.prod(
+                jnp.sin(jnp.pi * ks[i] * x + 0.3 * i), axis=-1
+            )
+        return out[:, None]
+
+    return u_star, f_rhs
+
+
+class TrainState(NamedTuple):
+    field: GaussianField
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def field_outputs(cfg: SamplerConfig, field: GaussianField, samples,
+                  orders=("value", "derivative", "laplacian"),
+                  method: str = "tiled"):
+    """Bin once, evaluate the requested orders (the reference's
+    preprocess-once / evaluate-4x reuse, SURVEY.md 3.5)."""
+    conics = field.conics()
+    if method == "tiled":
+        covs = field.covariances()
+        return sampling.sample_binned(
+            cfg, field.means, field.values, conics, covs, samples, tuple(orders)
+        )
+    outs = sampling.sample_all(
+        field.means, field.values, conics, samples,
+        period=cfg.period, orders=tuple(orders), method=method,
+    )
+    zero = jnp.zeros((), jnp.int32)
+    return outs, {"bin_overflow": zero, "work_overflow_fwd": zero,
+                  "work_overflow_bwd": zero}
+
+
+def pigs_loss(cfg: SamplerConfig, field: GaussianField, collocation,
+              data_x, data_u, f_rhs, *, w_pde: float = 1.0,
+              w_data: float = 1.0, method: str = "tiled"):
+    """PDE residual + data loss; returns (loss, metrics)."""
+    D = field.D
+    outs, diag = field_outputs(
+        cfg, field, collocation, orders=("value", "laplacian"), method=method
+    )
+    u = outs["value"]                       # (N, C)
+    hess = outs["laplacian"]                # (N, D, D, C)
+    lap = jnp.trace(hess, axis1=1, axis2=2) # (N, C)
+    pde_residual = -lap - f_rhs(collocation)
+    pde = jnp.mean(pde_residual**2)
+
+    outs_d, _ = field_outputs(
+        cfg, field, data_x, orders=("value",), method=method
+    )
+    data = jnp.mean((outs_d["value"] - data_u) ** 2)
+
+    loss = w_pde * pde + w_data * data
+    metrics = {"loss": loss, "pde": pde, "data": data, **diag}
+    return loss, metrics
+
+
+def make_train_step(cfg: SamplerConfig, optimizer,
+                    f_rhs: Callable, u_star: Callable,
+                    *, n_collocation: int = 4096, method: str = "tiled",
+                    w_pde: float = 1.0, w_data: float = 1.0):
+    """Jitted training step: sample collocation points, loss, adam update."""
+
+    def step(state: TrainState, key) -> Tuple[TrainState, Dict]:
+        D = state.field.D
+        k1, k2 = jax.random.split(key)
+        n_col = n_collocation
+        collocation = jax.random.uniform(
+            k1, (n_col, D), minval=-1.0, maxval=1.0
+        )
+        data_x = jax.random.uniform(
+            k2, (n_col // 4, D), minval=-1.0, maxval=1.0
+        )
+        data_u = u_star(data_x)
+
+        def loss_fn(field):
+            return pigs_loss(
+                cfg, field, collocation, data_x, data_u, f_rhs,
+                w_pde=w_pde, w_data=w_data, method=method,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.field
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.field
+        )
+        field = optax.apply_updates(state.field, updates)
+        field = field._replace(
+            means=wrap_means(field.means, cfg.period)
+        )
+        return TrainState(field, opt_state, state.step + 1), metrics
+
+    return jax.jit(step)
+
+
+def wrap_means(means, period):
+    if period is None:
+        return means
+    return means - period * jnp.round(means / period)
+
+
+def train(cfg: SamplerConfig, *, P: int = 1000, D: int = 2, C: int = 1,
+          steps: int = 200, n_collocation: int = 4096,
+          learning_rate: float = 3e-3, sigma: float = 0.1,
+          method: str = "tiled", seed: int = 0,
+          log_every: int = 50, logger=None):
+    """Full training run; returns (state, history of metrics)."""
+    u_star, f_rhs = manufactured_solution(D)
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    field = init_field(init_key, P, D, C, sigma=sigma)
+    optimizer = optax.adam(learning_rate)
+    state = TrainState(field, optimizer.init(field), jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(
+        cfg, optimizer, f_rhs, u_star, n_collocation=n_collocation,
+        method=method,
+    )
+
+    history = []
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sub)
+        if i % log_every == 0 or i == steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = i
+            history.append(m)
+            if logger is not None:
+                logger.log(m)
+    return state, history

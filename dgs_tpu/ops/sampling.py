@@ -122,22 +122,27 @@ def sample_dense_all(means, values, conics, samples, *, period=2.0,
 # ---------------------------------------------------------------------------
 
 
-def _split_orders(orders, stacked, N, D, C):
-    """Slice the kernel's stacked (N, K, C) component tensor per order."""
+def _split_orders(orders, comp_list, N, D, C):
+    """Assemble the kernels' per-component (N, C) arrays into per-order
+    output tensors (value (N,C) ... third (N,D,D,D,C))."""
     outs = []
     k0 = 0
     for order in orders:
         k = n_components(order, D)
-        outs.append(stacked[:, k0 : k0 + k, :].reshape(out_shape(order, N, D, C)))
+        stacked = jnp.stack(comp_list[k0 : k0 + k], axis=1)  # (N, k, C)
+        outs.append(stacked.reshape(out_shape(order, N, D, C)))
         k0 += k
     return tuple(outs)
 
 
-def _stack_cotangents(orders, gs, N, D, C):
-    parts = [
-        g.reshape(N, n_components(order, D), C) for order, g in zip(orders, gs)
-    ]
-    return jnp.concatenate(parts, axis=1)
+def _split_cotangents(orders, gs, N, D, C):
+    """Per-order cotangent tensors -> flat list of per-component (N, C)."""
+    parts = []
+    for order, g in zip(orders, gs):
+        k = n_components(order, D)
+        g = g.reshape(N, k, C)
+        parts.extend(g[:, i, :] for i in range(k))
+    return parts
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -163,9 +168,9 @@ def _sample_pallas_multi_bwd(orders, period, res, gs):
     means, values, conics, samples = res
     N, D = samples.shape
     C = values.shape[1]
-    g = _stack_cotangents(orders, gs, N, D, C)
+    g_list = _split_cotangents(orders, gs, N, D, C)
     d_means, d_values, d_conics = kdense.dense_backward(
-        orders, period, means, values, conics, samples, g
+        orders, period, means, values, conics, samples, g_list
     )
     return d_means, d_values, d_conics, jnp.zeros_like(samples)
 
@@ -201,24 +206,56 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
 
     @jax.custom_vjp
     def f(m, v, c):
-        return ktiled.tiled_forward(
+        return tuple(ktiled.tiled_forward(
             orders, period, m, v, c, samples, state, fb, fn,
             fwd_work_blocks, block_n=block_n, block_e=block_e,
-        )
+        ))
 
     def f_fwd(m, v, c):
         return f(m, v, c), (m, v, c)
 
-    def f_bwd(res, g):
+    def f_bwd(res, gs):
         m, v, c = res
         return ktiled.tiled_backward(
-            orders, period, m, v, c, samples, g, state, bb, bn,
+            orders, period, m, v, c, samples, list(gs), state, bb, bn,
             bwd_work_blocks, block_n=bwd_block_n, block_e=bwd_block_e,
         )
 
     f.defvjp(f_fwd, f_bwd)
-    stacked = f(means, values, conics)
-    return _split_orders(orders, stacked, N, D, C)
+    comp_list = f(means, values, conics)
+    return _split_orders(orders, list(comp_list), N, D, C)
+
+
+def sample_binned(cfg, means, values, conics, covariances, samples,
+                  orders: Tuple[str, ...] = ALL_ORDERS):
+    """Fully jit-compatible binned evaluation: builds the acceleration
+    structure in-trace with the static work caps from ``cfg`` and returns
+    (outputs dict, diagnostics dict).
+
+    diagnostics["bin_overflow"] counts Gaussians whose footprint exceeded
+    max_tiles_per_gaussian; diagnostics["work_overflow_fwd"/"_bwd"] flag
+    sample/entry blocks whose sweep exceeded the static work caps.  All three
+    must be zero for exact results (check them - this replaces the reference's
+    silent reliance on dynamically sized buffers).
+    """
+    from ..binning import grid as binning
+
+    state = binning.build(cfg, means, covariances, samples)
+    bn, be = cfg.block_n, cfg.block_p
+    bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
+    fwd_geom = binning.forward_geometry(state, bn, be)
+    bwd_geom = binning.backward_geometry(state, bbe, bbn)
+    outs = sample_tiled_multi(
+        tuple(orders), cfg.period, means, values, conics, samples, state,
+        fwd_geom, bwd_geom, cfg.work_blocks_fwd, cfg.work_blocks_bwd,
+        block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
+    )
+    diag = {
+        "bin_overflow": state.overflow,
+        "work_overflow_fwd": jnp.sum(fwd_geom[1] > cfg.work_blocks_fwd),
+        "work_overflow_bwd": jnp.sum(bwd_geom[1] > cfg.work_blocks_bwd),
+    }
+    return dict(zip(orders, outs)), diag
 
 
 def sample(order: str, means, values, conics, samples, *,

@@ -58,7 +58,8 @@ def evaluate_all(means, values, conics, samples, *, period=2.0, pair_mask=None):
     }
 
 
-def radii(covariances: jnp.ndarray, D: int, radius_sigma: float = 3.0) -> jnp.ndarray:
+def radii(covariances: jnp.ndarray, D: int, radius_sigma: float = 3.0,
+          eig_floor: float = 1e-6) -> jnp.ndarray:
     """Per-Gaussian footprint radius = radius_sigma * sqrt(lambda_max(cov)).
 
     Replicates forward.cu:52-61 for D in {1,2} (including the det==0 cull that
@@ -71,7 +72,7 @@ def radii(covariances: jnp.ndarray, D: int, radius_sigma: float = 3.0) -> jnp.nd
     if D == 2:
         det = cov[:, 0] * cov[:, 2] - cov[:, 1] ** 2
         mid = 0.5 * (cov[:, 0] + cov[:, 2])
-        lam = mid + jnp.sqrt(jnp.maximum(1e-6, mid * mid - det))
+        lam = mid + jnp.sqrt(jnp.maximum(eig_floor, mid * mid - det))
         r = radius_sigma * jnp.sqrt(jnp.maximum(lam, 0.0))
         # Reference culls det == 0 exactly (forward.cu:55-57); under XLA the
         # product fuses into an FMA whose rounding differs from eager mode, so

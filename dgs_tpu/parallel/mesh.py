@@ -1,0 +1,175 @@
+"""Multi-chip / multi-host sharding (SPMD over a device mesh).
+
+The reference is single-GPU with no distribution layer (SURVEY.md section 2:
+"Parallelism & distributed-communication inventory: NONE"); the TPU build
+treats it as first-class (BASELINE.json north star).  Design:
+
+  * ``data`` mesh axis shards SAMPLE points - each sample's output is an
+    independent sum over Gaussians, so the forward has zero cross-talk and
+    parameter gradients are all-reduced (psum) over ``data`` by the autodiff
+    transpose of the replication.
+  * ``model`` mesh axis shards GAUSSIANS - the mixture sum is associative, so
+    each shard evaluates a partial field and the partials are ``psum``-ed over
+    ``model`` (the ring/SP analogue for Gaussian mixtures: all-reduce over
+    partial mixtures, SURVEY.md section 5).
+
+Everything compiles through shard_map so XLA places the collectives on ICI.
+Multi-host bootstrap is jax.distributed.initialize + the same mesh spanning
+all processes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SamplerConfig
+from ..ops import sampling
+from ..models.field import GaussianField
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """('data', 'model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, f"mesh {shape} != {n} devices"
+    # Auto axis types: arrays created inside shard_map bodies must stay
+    # unsharded-local (explicit-mode meshes stamp iota/arange avals with the
+    # mesh and break integer indexing of per-shard arrays).
+    return jax.make_mesh(
+        shape, ("data", "model"),
+        axis_types=(jax.sharding.AxisType.Auto,) * 2,
+        devices=devices,
+    )
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bootstrap (DCN rendezvous; no-op if single-process)."""
+    if jax.process_count() == 1 and not kwargs:
+        return
+    jax.distributed.initialize(**kwargs)
+
+
+def sharded_sample_all(cfg: SamplerConfig, mesh: Mesh,
+                       means, values, conics, covariances, samples,
+                       orders=sampling.ALL_ORDERS, method: str = "tiled"):
+    """Fused multi-order evaluation sharded over (data=samples,
+    model=gaussians).  Returns outputs in the original sample order,
+    replicated over ``model``."""
+    orders = tuple(orders)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P("model"), P("model"), P("model"), P("model"), P("data"),
+        ),
+        out_specs=P("data"),
+    )
+    def run(m, v, c, cov, s):
+        if method == "tiled":
+            outs, _ = sampling.sample_binned(cfg, m, v, c, cov, s, orders)
+        else:
+            outs = sampling.sample_all(
+                m, v, c, s, period=cfg.period, orders=orders, method=method
+            )
+        # Partial mixtures from each gaussian shard -> all-reduce over ICI.
+        return jax.tree.map(lambda o: jax.lax.psum(o, "model"), outs)
+
+    return run(means, values, conics, covariances, samples)
+
+
+def make_sharded_pigs_step(cfg: SamplerConfig, mesh: Mesh, optimizer,
+                           f_rhs, u_star, *, n_collocation: int = 4096,
+                           method: str = "tiled",
+                           w_pde: float = 1.0, w_data: float = 1.0):
+    """Sharded PIGS training step.
+
+    Gaussian parameters and optimizer state are replicated (data-parallel);
+    collocation points are sharded over the full mesh.  The loss is the
+    global mean (psum over shards), so jax.grad's transpose inserts the
+    gradient all-reduce automatically - XLA overlaps it with the remaining
+    backward work (latency-hiding scheduler).
+    """
+    from ..models import pigs
+
+    n_shards = mesh.devices.size
+    assert n_collocation % n_shards == 0
+
+    def step(state: pigs.TrainState, key):
+        D = state.field.D
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P(), P(("data", "model"))),
+            out_specs=(P(), P()),
+        )
+        def loss_and_grad(field, keys):
+            k1, k2 = jax.random.split(keys[0])
+            n_local = n_collocation // n_shards
+            collocation = jax.random.uniform(
+                k1, (n_local, D), minval=-1.0, maxval=1.0
+            )
+            data_x = jax.random.uniform(
+                k2, (max(n_local // 4, 1), D), minval=-1.0, maxval=1.0
+            )
+            data_u = u_star(data_x)
+
+            def local_loss(f):
+                loss, metrics = pigs.pigs_loss(
+                    cfg, f, collocation, data_x, data_u, f_rhs,
+                    w_pde=w_pde, w_data=w_data, method=method,
+                )
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(field)
+            # Per-shard losses/grads -> global mean over every mesh axis.
+            grads = jax.tree.map(
+                lambda g: jax.lax.pmean(g, ("data", "model")), grads
+            )
+            metrics = jax.tree.map(
+                lambda x: jax.lax.pmean(
+                    jnp.asarray(x, jnp.float32), ("data", "model")
+                ),
+                metrics,
+            )
+            return metrics, grads
+
+        keys = jax.random.split(key, n_shards)
+        metrics, grads = loss_and_grad(state.field, keys)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.field)
+        field = optax_apply(state.field, updates)
+        field = field._replace(means=pigs.wrap_means(field.means, cfg.period))
+        return pigs.TrainState(field, opt_state, state.step + 1), metrics
+
+    return jax.jit(step)
+
+
+def optax_apply(params, updates):
+    import optax
+
+    return optax.apply_updates(params, updates)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_samples(samples, mesh: Mesh):
+    """Place sample points sharded over both mesh axes."""
+    sharding = NamedSharding(mesh, P(("data", "model")))
+    return jax.device_put(samples, sharding)

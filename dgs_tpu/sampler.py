@@ -51,7 +51,7 @@ class GaussianSampler:
 
         if self.method == "tiled":
             state = snapshot_call(
-                self.debug, "preprocess", binning.build, cfg, means,
+                self.debug, "preprocess", binning.build_jit, cfg, means,
                 covariances, samples,
             )
             self.state = state
@@ -73,7 +73,7 @@ class GaussianSampler:
             from .oracle.dense import radii as compute_radii
 
             self.state = None
-            self.radii = compute_radii(covariances, D, cfg.radius_sigma)
+            self.radii = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
 
     def _run(self, orders) -> Dict[str, jnp.ndarray]:
         cfg = self.config

@@ -1,0 +1,121 @@
+"""Sharded execution on the virtual 8-device CPU mesh.
+
+Validates the (data=samples, model=gaussians) sharding: partial-mixture psum
+over 'model', gradient all-reduce over 'data', parity with single-device
+results (SURVEY.md sections 5 and 7; config 5 of BASELINE.json).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dgs_tpu.config import SamplerConfig
+from dgs_tpu.models import pigs
+from dgs_tpu.models.field import init_field
+from dgs_tpu.oracle import dense as oracle
+from dgs_tpu.parallel import mesh as pmesh
+
+from conftest import make_gaussians, make_samples
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_sharded_dense_matches_oracle(rng):
+    mesh = pmesh.make_mesh((4, 2))
+    means, values, covs, conics = make_gaussians(rng, 32, 2, 3)
+    samples = make_samples(rng, 64, 2)
+    m, v, cov, c, s = map(jnp.asarray, (means, values, covs, conics, samples))
+    cfg = SamplerConfig()
+    outs = pmesh.sharded_sample_all(
+        cfg, mesh, m, v, c, cov, s, orders=("value", "derivative"),
+        method="dense",
+    )
+    for order in ("value", "derivative"):
+        ref = oracle.evaluate(order, m, v, c, s)
+        np.testing.assert_allclose(outs[order], ref, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_tiled_matches_unsharded(rng):
+    mesh = pmesh.make_mesh((4, 2))
+    means, values, covs, conics = make_gaussians(
+        rng, 32, 2, 2, sigma_range=(0.15, 0.3)
+    )
+    samples = make_samples(rng, 64, 2)
+    m, v, cov, c, s = map(jnp.asarray, (means, values, covs, conics, samples))
+    cfg = SamplerConfig(work_blocks_fwd=16, work_blocks_bwd=32)
+    got = pmesh.sharded_sample_all(
+        cfg, mesh, m, v, c, cov, s, orders=("value",), method="tiled"
+    )["value"]
+    from dgs_tpu.ops import sampling
+
+    ref, diag = sampling.sample_binned(cfg, m, v, c, cov, s, ("value",))
+    assert int(diag["bin_overflow"]) == 0
+    np.testing.assert_allclose(got, ref["value"], rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_training_step_runs_and_learns():
+    mesh = pmesh.make_mesh((4, 2))
+    cfg = SamplerConfig()
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(0), 64, 2, 1, sigma=0.25)
+    opt = optax.adam(1e-2)
+    state = pigs.TrainState(field, opt.init(field), jnp.zeros((), jnp.int32))
+    state = pmesh.replicate(state, mesh)
+    step = pmesh.make_sharded_pigs_step(
+        cfg, mesh, opt, f_rhs, u_star, n_collocation=256, method="dense"
+    )
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+
+
+def test_sharded_grads_match_unsharded():
+    mesh = pmesh.make_mesh((4, 2))
+    cfg = SamplerConfig()
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(5), 32, 2, 1, sigma=0.3)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (64, 2), minval=-1, maxval=1)
+    data_u = u_star(x)
+
+    def loss(f):
+        l, _ = pigs.pigs_loss(cfg, f, x, x, data_u, f_rhs, method="dense")
+        return l
+
+    g_ref = jax.grad(loss)(field)
+
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False, in_specs=(P(), P(("data", "model"))),
+             out_specs=P())
+    def sharded_grad(f, xs):
+        def local(f_):
+            outs, _ = pigs.field_outputs(
+                cfg, f_, xs, orders=("value", "laplacian"), method="dense"
+            )
+            lap = jnp.trace(outs["laplacian"], axis1=1, axis2=2)
+            res = -lap - f_rhs(xs)
+            du = outs["value"] - u_star(xs)
+            return jax.lax.pmean(
+                jnp.mean(res**2) + jnp.mean(du**2), ("data", "model")
+            )
+
+        return jax.tree.map(
+            lambda g: jax.lax.pmean(g, ("data", "model")), jax.grad(local)(f)
+        )
+
+    g_shard = sharded_grad(field, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_shard)):
+        if a.size:
+            np.testing.assert_allclose(
+                b, a, rtol=2e-3, atol=1e-5 * max(1.0, float(np.abs(a).max()))
+            )
