@@ -39,7 +39,7 @@ def main():
 
     cfg = SamplerConfig(
         tile_size=tile, work_blocks_fwd=64, work_blocks_bwd=128,
-        max_tiles_per_gaussian=2,
+        max_tiles_per_gaussian=int(os.environ.get("BENCH_R", 3)),
         eig_floor=float(os.environ.get("BENCH_EIG_FLOOR", 1e-12)),
     )
     # sigma ~ 2/sqrt(P): footprints a few tiles wide at 100k Gaussians.

@@ -168,6 +168,20 @@ def build(
     order = jnp.argsort(ent_tile_flat)  # stable: preserves gaussian order/tile
     ent_tile = ent_tile_flat[order]
     ent_gid = ent_gid_flat[order]
+
+    # Compact: sentinels sorted last, so truncating to the static entry
+    # capacity drops only unused slots (or, if the footprints are unusually
+    # dense, real entries - counted below, never silent).
+    E_cap = min(
+        max(int(-(-cfg.entry_capacity_factor * P // 128)) * 128, 4096),
+        P * dup,
+    )
+    if E_cap < P * dup:
+        n_valid = jnp.sum(ent_tile < T)
+        overflow = overflow + jnp.maximum(n_valid - E_cap, 0).astype(jnp.int32)
+        ent_tile = ent_tile[:E_cap]
+        ent_gid = ent_gid[:E_cap]
+
     ent_start = jnp.searchsorted(
         ent_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)

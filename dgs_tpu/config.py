@@ -65,6 +65,12 @@ class SamplerConfig:
     # workloads.
     eig_floor: float = 1e-6
     max_tiles_per_gaussian: int = 4
+    # Static capacity of the compacted duplicate-entry list, as a multiple of
+    # P.  Enumeration capacity is P * R^D; after the tile sort, sentinel
+    # (unused) slots are compacted away down to ceil(factor * P) entries so
+    # sparse footprints don't pay for the worst case.  Valid entries beyond
+    # the capacity are counted in the overflow diagnostic.
+    entry_capacity_factor: float = 4.0
     tile_gaussian_capacity: int = 1024
     tile_sample_capacity: int = 1024
     dtype: str = "float32"
