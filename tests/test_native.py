@@ -1,0 +1,77 @@
+"""Native C++ capacity planner vs the jnp binning pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgs_tpu.config import SamplerConfig
+from dgs_tpu.binning import grid as binning
+from dgs_tpu.oracle import dense as oracle
+from dgs_tpu.ops import aggregation
+from dgs_tpu.utils import native
+
+from conftest import make_gaussians, make_samples
+
+
+def test_planner_matches_jnp_binning(rng):
+    means, values, covs, conics = make_gaussians(rng, 200, 2, 2)
+    samples = make_samples(rng, 500, 2)
+    cfg = SamplerConfig(max_tiles_per_gaussian=8)
+    plan = native.plan_capacities(cfg, means, covs, samples)
+
+    m, cov, s = map(jnp.asarray, (means, covs, samples))
+    state = binning.build(cfg, m, cov, s)
+    assert int(state.overflow) == 0
+    T = binning.num_tiles(cfg, 2)
+    ent_tile = np.asarray(state.ent_tile[0])
+    valid = ent_tile < T
+    assert plan["entries"] == int(valid.sum())
+
+    rad = np.asarray(state.radii)
+    assert plan["culled"] == int((rad <= 0).sum())
+
+    lo, hi = binning.gaussian_rects(cfg, m, state.radii)
+    assert plan["max_extent"] == int(np.asarray(hi - lo).max())
+
+    bn, be = cfg.block_n, cfg.block_p
+    bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
+    _, fn = binning.forward_geometry(state, bn, be)
+    _, bnn = binning.backward_geometry(state, bbe, bbn)
+    assert plan["work_blocks_fwd"] >= int(jnp.max(fn))
+    assert plan["work_blocks_bwd"] >= int(jnp.max(bnn))
+    # the planner is exact, not just an upper bound
+    assert plan["work_blocks_fwd"] == int(jnp.max(fn))
+    assert plan["work_blocks_bwd"] == int(jnp.max(bnn))
+
+
+def test_planner_capacities_make_binning_exact(rng):
+    """Configure SamplerConfig straight from the plan -> zero overflows."""
+    means, values, covs, conics = make_gaussians(
+        rng, 300, 2, 2, sigma_range=(0.05, 0.4)
+    )
+    samples = make_samples(rng, 700, 2)
+    plan = native.plan_capacities(SamplerConfig(), means, covs, samples)
+    cfg = SamplerConfig(
+        max_tiles_per_gaussian=max(int(plan["max_extent"]), 1),
+        entry_capacity_factor=max(plan["entries"] / 300 + 1, 1.0),
+        work_blocks_fwd=max(int(plan["work_blocks_fwd"]), 1),
+        work_blocks_bwd=max(int(plan["work_blocks_bwd"]), 1),
+    )
+    state = binning.build(
+        cfg, jnp.asarray(means), jnp.asarray(covs), jnp.asarray(samples)
+    )
+    assert int(state.overflow) == 0
+
+
+def test_max_collisions_matches_reference(rng):
+    means, values, covs, conics = make_gaussians(
+        rng, 60, 2, 1, sigma_range=(0.1, 0.3)
+    )
+    cfg = SamplerConfig()
+    rad = np.asarray(oracle.radii(jnp.asarray(covs), 2))
+    got = native.max_collisions(cfg, means, rad)
+    want = aggregation.suggest_capacity(
+        cfg, jnp.asarray(means), jnp.asarray(rad)
+    )
+    assert got == want
