@@ -53,9 +53,11 @@ class BinningState(NamedTuple):
     # Per-Gaussian culling radius (exposed like reference radii,
     # sample_points.cu:54: zero radius = culled).
     radii: jnp.ndarray        # (P,) float32
-    # Diagnostics: number of (gaussian, tile) overlaps beyond the static
-    # capacity R^D (0 = binning exact).
-    overflow: jnp.ndarray     # () int32
+    # Diagnostics (0 = binning exact): Gaussians whose footprint exceeds the
+    # per-axis duplicate cap R, and valid entries dropped by the compacted
+    # entry capacity.
+    overflow: jnp.ndarray        # () int32 rect overflow count
+    entry_overflow: jnp.ndarray  # () int32 dropped entries
 
     @property
     def num_entries(self) -> int:
@@ -176,9 +178,10 @@ def build(
         max(int(-(-cfg.entry_capacity_factor * P // 128)) * 128, 4096),
         P * dup,
     )
+    entry_overflow = jnp.zeros((), jnp.int32)
     if E_cap < P * dup:
         n_valid = jnp.sum(ent_tile < T)
-        overflow = overflow + jnp.maximum(n_valid - E_cap, 0).astype(jnp.int32)
+        entry_overflow = jnp.maximum(n_valid - E_cap, 0).astype(jnp.int32)
         ent_tile = ent_tile[:E_cap]
         ent_gid = ent_gid[:E_cap]
 
@@ -202,6 +205,7 @@ def build(
         s_start=s_start,
         radii=rad,
         overflow=overflow,
+        entry_overflow=entry_overflow,
     )
 
 

@@ -252,6 +252,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
     )
     diag = {
         "bin_overflow": state.overflow,
+        "entry_overflow": state.entry_overflow,
         "work_overflow_fwd": jnp.sum(fwd_geom[1] > cfg.work_blocks_fwd),
         "work_overflow_bwd": jnp.sum(bwd_geom[1] > cfg.work_blocks_bwd),
     }

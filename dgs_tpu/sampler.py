@@ -40,10 +40,42 @@ class GaussianSampler:
 
     # -- sampling ----------------------------------------------------------
 
+    def _validate(self, means, values, covariances, conics, samples):
+        """Shape (and, in debug mode, finiteness) validation with named
+        errors - the reference segfaults or corrupts on these."""
+        from .config import tri_size
+
+        P, D = means.shape
+        tri = tri_size(D)
+        checks = [
+            ("values", values, (P, None)),
+            ("covariances", covariances, (P, tri)),
+            ("conics", conics, (P, tri)),
+            ("samples", samples, (None, D)),
+        ]
+        for name, arr, want in checks:
+            if arr.ndim != 2 or any(
+                w is not None and s != w for s, w in zip(arr.shape, want)
+            ):
+                want_s = tuple("*" if w is None else w for w in want)
+                raise ValueError(
+                    f"{name} has shape {tuple(arr.shape)}, expected {want_s} "
+                    f"for P={P} Gaussians in D={D} dims"
+                )
+        if self.debug:
+            from .utils.debug import check_finite
+
+            check_finite("preprocess inputs", {
+                "means": means, "values": values,
+                "covariances": covariances, "conics": conics,
+                "samples": samples,
+            })
+
     def preprocess(self, means, values, covariances, conics, samples):
         """Build and store the acceleration structure
         (reference preprocess, __init__.py:218-233)."""
         P, D = means.shape
+        self._validate(means, values, covariances, conics, samples)
         cfg = self.config.with_dims(D)
         self.config = cfg
         self.means, self.values, self.conics = means, values, conics
@@ -56,12 +88,23 @@ class GaussianSampler:
             )
             self.state = state
             self.radii = state.radii
-            if self.debug and int(jax.device_get(state.overflow)) > 0:
-                raise ValueError(
-                    f"binning overflow: {int(jax.device_get(state.overflow))} "
-                    f"Gaussians exceed max_tiles_per_gaussian="
-                    f"{cfg.max_tiles_per_gaussian}; raise it in SamplerConfig"
-                )
+            if self.debug:
+                rect_of = int(jax.device_get(state.overflow))
+                ent_of = int(jax.device_get(state.entry_overflow))
+                if rect_of:
+                    raise ValueError(
+                        f"binning overflow: {rect_of} Gaussians exceed "
+                        f"max_tiles_per_gaussian={cfg.max_tiles_per_gaussian}"
+                        "; raise it in SamplerConfig (see "
+                        "dgs_tpu.utils.native.plan_capacities)"
+                    )
+                if ent_of:
+                    raise ValueError(
+                        f"binning entry overflow: {ent_of} (gaussian, tile) "
+                        "entries dropped; raise "
+                        f"entry_capacity_factor={cfg.entry_capacity_factor} "
+                        "in SamplerConfig"
+                    )
             bn, be = cfg.block_n, cfg.block_p
             bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
             self._fwd_geom = binning.forward_geometry(state, bn, be)
