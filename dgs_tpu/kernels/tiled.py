@@ -36,8 +36,12 @@ from .dense import (_backward_body, _forward_body, _interpret, _pad_axis,
                     _round_up, total_components)
 
 
-def _gather_entries(state: BinningState, means, values, conics, block_e: int):
+def prepare_entries(state: BinningState, means, values, conics, block_e: int):
     """Entry-ordered parameter arrays, padded to a block multiple.
+
+    Shared by forward and backward (ops/sampling.py computes it once per
+    custom_vjp forward and stows it in the residuals) - the entry gathers are
+    a visible slice of step time at 1M-sample scale.
 
     Sentinel entries (gid == P) hit an appended zero row; they are also
     tile-masked in-kernel, so both forward and backward contributions vanish.
@@ -64,7 +68,7 @@ def _gather_entries(state: BinningState, means, values, conics, block_e: int):
     return gid, tile, ent_means, ent_values, ent_conics, Ep
 
 
-def _sorted_samples(state: BinningState, samples, block_n: int):
+def prepare_samples(state: BinningState, samples, block_n: int):
     N, D = samples.shape
     Np = _round_up(N, block_n)
     s_sorted = samples[state.s_perm].T  # (D, N)
@@ -116,17 +120,28 @@ def tiled_forward(
     *,
     block_n: int = 256,
     block_e: int = 512,
+    sorted_outputs: bool = False,
+    ent=None,
+    smp=None,
 ) -> List[jnp.ndarray]:
-    """Per-component (N, C) outputs in ORIGINAL sample order."""
+    """Per-component (N, C) outputs.
+
+    With ``sorted_outputs=False`` outputs are returned in the caller's sample
+    order; with True they stay in tile-sorted order (row r = sample
+    state.s_perm[r]), skipping the un-sort gather - use for permutation-
+    invariant consumers (losses reduced over samples)."""
     N, D = samples.shape
     P, C = values.shape
     K = total_components(orders, D)
     tri = tri_size(D)
 
-    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = _gather_entries(
-        state, means, values, conics, block_e
+    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = (
+        ent if ent is not None
+        else prepare_entries(state, means, values, conics, block_e)
     )
-    s_sorted, s_tile, Np = _sorted_samples(state, samples, block_n)
+    s_sorted, s_tile, Np = (
+        smp if smp is not None else prepare_samples(state, samples, block_n)
+    )
     NB = Np // block_n
     EBmax = Ep // block_e
     base = jnp.clip(_pad_axis(base, 0, NB), 0, EBmax - 1)
@@ -172,11 +187,16 @@ def tiled_forward(
         interpret=_interpret(),
     )(base, nblk, ent_means, ent_conics, ent_values, ent_tile, s_sorted, s_tile)
 
+    if sorted_outputs:
+        return [o[:N] for o in outs]
     # Un-sort back to caller order: sorted row r holds sample s_perm[r].
+    # One concatenated gather for all K components (TPU gathers are per-row;
+    # wider rows amortize the fixed cost K-fold).
     inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
         jnp.arange(N, dtype=jnp.int32)
     )
-    return [o[:N][inv] for o in outs]
+    packed = jnp.concatenate([o[:N] for o in outs], axis=1)[inv]
+    return [packed[:, k * C : (k + 1) * C] for k in range(K)]
 
 
 # ---------------------------------------------------------------------------
@@ -218,19 +238,35 @@ def tiled_backward(
     *,
     block_n: int = 128,
     block_e: int = 256,
+    gs_sorted: bool = False,
+    ent=None,
+    smp=None,
 ):
-    """Deterministic per-entry gradients + segment-sum by gaussian id."""
+    """Deterministic per-entry gradients + segment-sum by gaussian id.
+
+    ``gs_sorted=True`` means the cotangents already arrive in tile-sorted
+    sample order (the forward ran with sorted_outputs=True)."""
     N, D = samples.shape
     P, C = values.shape
     K = total_components(orders, D)
     tri = tri_size(D)
 
-    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = _gather_entries(
-        state, means, values, conics, block_e
+    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = (
+        ent if ent is not None
+        else prepare_entries(state, means, values, conics, block_e)
     )
     ent_values_t = ent_values.T  # (C, Ep)
-    s_sorted, s_tile, Np = _sorted_samples(state, samples, block_n)
-    gs_sorted = [_pad_axis(g[state.s_perm], 0, Np) for g in gs]
+    s_sorted, s_tile, Np = (
+        smp if smp is not None else prepare_samples(state, samples, block_n)
+    )
+    if gs_sorted:
+        gs_s = [_pad_axis(g, 0, Np) for g in gs]
+    else:
+        # One concatenated permute-gather for all K cotangents.
+        packed = jnp.concatenate(list(gs), axis=1)[state.s_perm]
+        gs_s = [
+            _pad_axis(packed[:, k * C : (k + 1) * C], 0, Np) for k in range(K)
+        ]
 
     EB = Ep // block_e
     NBmax = Np // block_n
@@ -277,7 +313,7 @@ def tiled_backward(
         ],
         interpret=_interpret(),
     )(base, nblk, ent_means, ent_conics, ent_values_t, ent_tile, s_sorted,
-      s_tile, *gs_sorted)
+      s_tile, *gs_s)
 
     # Deterministic scatter: segment-sum entry gradients by gaussian id
     # (replaces backward.cu's atomicAdd on dL_dmeans/values/conics).

@@ -59,22 +59,28 @@ class TrainState(NamedTuple):
 
 def field_outputs(cfg: SamplerConfig, field: GaussianField, samples,
                   orders=("value", "derivative", "laplacian"),
-                  method: str = "tiled"):
+                  method: str = "tiled", sorted_outputs: bool = False):
     """Bin once, evaluate the requested orders (the reference's
-    preprocess-once / evaluate-4x reuse, SURVEY.md 3.5)."""
+    preprocess-once / evaluate-4x reuse, SURVEY.md 3.5).
+
+    With ``sorted_outputs=True`` (tiled only) outputs stay in tile-sorted
+    order and diag["perm"] maps rows back to samples - losses that reduce
+    over samples should evaluate their targets at ``samples[perm]`` instead
+    of paying un-sort gathers."""
     conics = field.conics()
     if method == "tiled":
         covs = field.covariances()
         return sampling.sample_binned(
-            cfg, field.means, field.values, conics, covs, samples, tuple(orders)
+            cfg, field.means, field.values, conics, covs, samples,
+            tuple(orders), sorted_outputs=sorted_outputs,
         )
     outs = sampling.sample_all(
         field.means, field.values, conics, samples,
         period=cfg.period, orders=tuple(orders), method=method,
     )
     zero = jnp.zeros((), jnp.int32)
-    return outs, {"bin_overflow": zero, "work_overflow_fwd": zero,
-                  "work_overflow_bwd": zero}
+    return outs, {"perm": None, "bin_overflow": zero,
+                  "work_overflow_fwd": zero, "work_overflow_bwd": zero}
 
 
 def pigs_loss(cfg: SamplerConfig, field: GaussianField, collocation,
@@ -82,21 +88,27 @@ def pigs_loss(cfg: SamplerConfig, field: GaussianField, collocation,
               w_data: float = 1.0, method: str = "tiled"):
     """PDE residual + data loss; returns (loss, metrics)."""
     D = field.D
+    use_sorted = method == "tiled"
     outs, diag = field_outputs(
-        cfg, field, collocation, orders=("value", "laplacian"), method=method
+        cfg, field, collocation, orders=("value", "laplacian"),
+        method=method, sorted_outputs=use_sorted,
     )
+    col_pts = collocation[diag["perm"]] if use_sorted else collocation
     u = outs["value"]                       # (N, C)
     hess = outs["laplacian"]                # (N, D, D, C)
     lap = jnp.trace(hess, axis1=1, axis2=2) # (N, C)
-    pde_residual = -lap - f_rhs(collocation)
+    pde_residual = -lap - f_rhs(col_pts)
     pde = jnp.mean(pde_residual**2)
 
-    outs_d, _ = field_outputs(
-        cfg, field, data_x, orders=("value",), method=method
+    outs_d, diag_d = field_outputs(
+        cfg, field, data_x, orders=("value",), method=method,
+        sorted_outputs=use_sorted,
     )
-    data = jnp.mean((outs_d["value"] - data_u) ** 2)
+    tgt = data_u[diag_d["perm"]] if use_sorted else data_u
+    data = jnp.mean((outs_d["value"] - tgt) ** 2)
 
     loss = w_pde * pde + w_data * data
+    diag = {k: v for k, v in diag.items() if k != "perm"}
     metrics = {"loss": loss, "pde": pde, "data": data, **diag}
     return loss, metrics
 

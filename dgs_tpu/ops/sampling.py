@@ -188,7 +188,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
                        fwd_geom, bwd_geom,
                        fwd_work_blocks: int, bwd_work_blocks: int,
                        *, block_n: int = 256, block_e: int = 512,
-                       bwd_block_n: int = 128, bwd_block_e: int = 256):
+                       bwd_block_n: int = 128, bwd_block_e: int = 256,
+                       sorted_outputs: bool = False):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
@@ -204,21 +205,37 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     fb, fn = fwd_geom
     bb, bn = bwd_geom
 
+    # Shared preparation: entry padding aligned to both kernels' block sizes
+    # so one gather serves forward and backward; sample sorting is parameter-
+    # independent and hoisted entirely.
+    align_e = max(block_e, bwd_block_e)
+    align_n = max(block_n, bwd_block_n)
+    smp = ktiled.prepare_samples(state, samples, align_n)
+
     @jax.custom_vjp
     def f(m, v, c):
+        ent = ktiled.prepare_entries(state, m, v, c, align_e)
         return tuple(ktiled.tiled_forward(
             orders, period, m, v, c, samples, state, fb, fn,
             fwd_work_blocks, block_n=block_n, block_e=block_e,
+            sorted_outputs=sorted_outputs, ent=ent, smp=smp,
         ))
 
     def f_fwd(m, v, c):
-        return f(m, v, c), (m, v, c)
+        ent = ktiled.prepare_entries(state, m, v, c, align_e)
+        outs = tuple(ktiled.tiled_forward(
+            orders, period, m, v, c, samples, state, fb, fn,
+            fwd_work_blocks, block_n=block_n, block_e=block_e,
+            sorted_outputs=sorted_outputs, ent=ent, smp=smp,
+        ))
+        return outs, ent
 
-    def f_bwd(res, gs):
-        m, v, c = res
+    def f_bwd(ent, gs):
         return ktiled.tiled_backward(
-            orders, period, m, v, c, samples, list(gs), state, bb, bn,
-            bwd_work_blocks, block_n=bwd_block_n, block_e=bwd_block_e,
+            orders, period, means, values, conics, samples, list(gs), state,
+            bb, bn, bwd_work_blocks,
+            block_n=bwd_block_n, block_e=bwd_block_e,
+            gs_sorted=sorted_outputs, ent=ent, smp=smp,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -227,7 +244,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
 
 
 def sample_binned(cfg, means, values, conics, covariances, samples,
-                  orders: Tuple[str, ...] = ALL_ORDERS):
+                  orders: Tuple[str, ...] = ALL_ORDERS,
+                  sorted_outputs: bool = False):
     """Fully jit-compatible binned evaluation: builds the acceleration
     structure in-trace with the static work caps from ``cfg`` and returns
     (outputs dict, diagnostics dict).
@@ -249,8 +267,11 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         tuple(orders), cfg.period, means, values, conics, samples, state,
         fwd_geom, bwd_geom, cfg.work_blocks_fwd, cfg.work_blocks_bwd,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
+        sorted_outputs=sorted_outputs,
     )
     diag = {
+        # With sorted_outputs, output row r corresponds to samples[perm[r]].
+        "perm": state.s_perm if sorted_outputs else None,
         "bin_overflow": state.overflow,
         "entry_overflow": state.entry_overflow,
         "work_overflow_fwd": jnp.sum(fwd_geom[1] > cfg.work_blocks_fwd),
