@@ -12,7 +12,6 @@ BASELINE.json "published": {}).
 Env overrides: BENCH_P, BENCH_N, BENCH_STEPS, BENCH_METHOD, BENCH_TILE.
 """
 
-import dataclasses
 import json
 import os
 import sys
@@ -69,13 +68,7 @@ def main():
     dev = jax.devices()[0]
     field = jax.device_put(field, dev)
     samples = jax.device_put(samples, dev)
-    cfg = dataclasses.replace(
-        cfg,
-        work_blocks_fwd=int(plan["work_blocks_fwd"]),
-        work_blocks_bwd=int(plan["work_blocks_bwd"]),
-        max_tiles_per_gaussian=int(plan["max_extent"]),
-        entry_capacity_factor=plan["entries"] / P + 0.05,
-    )
+    cfg = native.config_from_plan(cfg, plan, P)
 
     def loss_fn(field, samples):
         # sum-of-squares is permutation invariant -> keep outputs tile-sorted

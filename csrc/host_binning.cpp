@@ -169,30 +169,43 @@ int dgs_plan_capacities(
     auto it = std::upper_bound(cum.begin(), cum.end(), row);
     return std::min<int64_t>(T - 1, (it - cum.begin()) - 1);
   };
-  auto max_sweep = [&](const std::vector<int64_t>& row_cum, int64_t n_rows,
-                       int32_t row_block, const std::vector<int64_t>& col_cum,
-                       int32_t col_block) {
-    int64_t worst = 0;
+  // Per-row-block sweep lengths; both the per-block max (rectangular cap)
+  // and the total (flattened work-list capacity; every row block counts at
+  // least one item, mirroring kernels/tiled.py work_list).
+  auto sweep_stats = [&](const std::vector<int64_t>& row_cum, int64_t n_rows,
+                         int32_t row_block, const std::vector<int64_t>& col_cum,
+                         int32_t col_block, int64_t* worst, int64_t* total) {
+    *worst = 0;
+    *total = 0;
     for (int64_t r0 = 0; r0 < n_rows; r0 += row_block) {
       int64_t r1 = std::min(r0 + row_block, n_rows) - 1;
       int64_t lo = col_cum[(size_t)tile_of(row_cum, r0)];
       int64_t hi = col_cum[(size_t)tile_of(row_cum, r1) + 1];
-      if (hi <= lo) continue;
-      int64_t base = lo / col_block;
-      worst = std::max(worst, (hi - base * col_block + col_block - 1) /
-                                  col_block);
+      int64_t nblk = 0;
+      if (hi > lo) {
+        int64_t base = lo / col_block;
+        nblk = (hi - base * col_block + col_block - 1) / col_block;
+      }
+      *worst = std::max(*worst, nblk);
+      *total += std::max<int64_t>(nblk, 1);
     }
-    return worst;
   };
+
+  int64_t fwd_worst, fwd_total, bwd_worst, bwd_total;
+  sweep_stats(smp_cum, N, block_n, ent_cum, block_e, &fwd_worst, &fwd_total);
+  sweep_stats(ent_cum, total_entries, block_e_b, smp_cum, block_n_b,
+              &bwd_worst, &bwd_total);
 
   out[0] = total_entries;
   out[1] = max_extent;
   out[2] = max_te;
   out[3] = max_ts;
-  out[4] = max_sweep(smp_cum, N, block_n, ent_cum, block_e);
-  out[5] = max_sweep(ent_cum, total_entries, block_e_b, smp_cum, block_n_b);
+  out[4] = fwd_worst;
+  out[5] = bwd_worst;
   out[6] = culled;
   out[7] = occupied;
+  out[8] = fwd_total;
+  out[9] = bwd_total;
   return 0;
 }
 

@@ -78,9 +78,15 @@ class SamplerConfig:
     # Pallas block sizes (tunable).
     block_n: int = 256
     block_p: int = 512
-    # Static sweep caps for the tiled kernels when binning is built inside a
-    # jitted step (eager facade auto-tunes instead).  Exactness requires the
-    # cap to cover max(nblocks); the overflow diagnostic reports violations.
+    # Static work-list capacity for the tiled kernels when binning is built
+    # inside a jitted step (the eager facade auto-sizes instead).  The kernels
+    # run one grid step per real (sample-block, entry-block) pair; exactness
+    # requires the capacity to cover the total pair count (the overflow
+    # diagnostic reports violations).  ``work_items_*`` set the total
+    # directly (use utils.native.plan_capacities for exact values); when
+    # None, the fallback is ``work_blocks_*`` items per row block.
+    work_items_fwd: Optional[int] = None
+    work_items_bwd: Optional[int] = None
     work_blocks_fwd: int = 8
     work_blocks_bwd: int = 16
 

@@ -3,20 +3,28 @@
 The TPU analogue of the reference's per-tile render kernels
 (forward.cu:88-166, backward.cu:27-106).  The CUDA design gives each spatial
 tile a thread block that walks its dynamic [start,end) range of sorted
-Gaussian IDs; here, a block of BS consecutive *tile-sorted* samples sweeps the
-contiguous range of *tile-sorted* Gaussian entries covering its tiles.  Block
-offsets are scalar-prefetched (PrefetchScalarGridSpec), and pair validity is
-``entry_tile == sample_tile`` - the exact pairing the reference's binning
-produces (a Gaussian meets a sample iff its 3-sigma rect covers the sample's
-tile).
+Gaussian IDs; here the (sample-block x entry-block) pair blocks that actually
+need work are flattened into a **work list** - one grid step per real block
+pair, scalar-prefetched - so the kernel grid carries no predicated-off slack
+(the earlier rectangular sweep paid max-over-blocks iterations for every
+block).  Pair validity inside a block is ``entry_tile == sample_tile`` - the
+exact pairing the reference's binning produces (a Gaussian meets a sample iff
+its 3-sigma rect covers the sample's tile).
 
-Backward writes gradients **per entry** (one slot per (gaussian, tile)
-duplicate) and the caller segment-sums by gaussian id - a deterministic
-replacement for the reference's atomicAdd scatter (backward.cu:121-152).
+IO is packed for lane efficiency (a (N, C) f32 array with C=4 is physically
+padded to 128 lanes on TPU - separate per-component arrays cost ~32x their
+logical bandwidth):
 
-Layouts follow kernels/dense.py: pairwise (samples x entries) =
-(sublanes x lanes); per-entry data transposed; per-component outputs and
-cotangents as separate (N, C) arrays.
+  * per-entry parameters ride in one lane-major ``geom`` array
+    (D+tri+C, Ep): means rows, conic rows, value rows;
+  * the forward writes one packed (Np, K*C) output (component-major columns);
+  * the backward consumes the packed cotangent in both orientations
+    ((Np, K*C) for the h matmuls, (K*C, Np) for the value-gradient matmuls)
+    and writes per-entry gradients into one packed (D+tri+C, Ep) array which
+    the caller segment-sums by gaussian id - a deterministic replacement for
+    the reference's atomicAdd scatter (backward.cu:121-152).
+
+All matmuls are plain NN contractions (MXU-native, no relayouts).
 """
 
 from __future__ import annotations
@@ -32,22 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import n_components, tri_size
 from ..binning.grid import BinningState
 from ..ops import formulas
-from .dense import (_backward_body, _forward_body, _interpret, _pad_axis,
-                    _round_up, total_components)
+from .dense import (_interpret, _pad_axis, _round_up, total_components)
+
+
+def n_params(D: int, C: int) -> int:
+    """Rows of the packed per-entry parameter/gradient arrays."""
+    return D + tri_size(D) + C
 
 
 def prepare_entries(state: BinningState, means, values, conics, block_e: int):
-    """Entry-ordered parameter arrays, padded to a block multiple.
+    """Entry-ordered packed parameters, padded to a block multiple.
 
-    Shared by forward and backward (ops/sampling.py computes it once per
-    custom_vjp forward and stows it in the residuals) - the entry gathers are
-    a visible slice of step time at 1M-sample scale.
+    One row gather builds (Ep, D+tri+C); the transpose is the lane-major
+    ``geom`` consumed by both kernels, the value columns double as the
+    sublane-major operand of the forward matmul.  Shared by forward and
+    backward (ops/sampling.py computes it once per custom_vjp forward and
+    stows it in the residuals).
 
     Sentinel entries (gid == P) hit an appended zero row; they are also
     tile-masked in-kernel, so both forward and backward contributions vanish.
     """
     P, D = means.shape
     C = values.shape[1]
+    tri = tri_size(D)
     E = state.num_entries
     Ep = _round_up(E, block_e)
 
@@ -56,16 +71,14 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int):
     tile = _pad_axis(state.ent_tile, 1, Ep)
     tile = jnp.where(jnp.arange(Ep)[None, :] >= E, jnp.int32(2**30), tile)
 
-    means_p = jnp.concatenate([means, jnp.zeros((1, D), means.dtype)], 0)
-    values_p = jnp.concatenate([values, jnp.zeros((1, C), values.dtype)], 0)
-    conics_p = jnp.concatenate(
-        [conics, jnp.zeros((1, conics.shape[1]), conics.dtype)], 0
+    params = jnp.concatenate([means, conics, values], axis=1)  # (P, NPARAM)
+    params = jnp.concatenate(
+        [params, jnp.zeros((1, params.shape[1]), params.dtype)], 0
     )
-
-    ent_means = means_p[gid].T        # (D, Ep)
-    ent_values = values_p[gid]        # (Ep, C)
-    ent_conics = conics_p[gid].T      # (tri, Ep)
-    return gid, tile, ent_means, ent_values, ent_conics, Ep
+    ent = params[gid]              # (Ep, NPARAM) - single row gather
+    geom = ent.T                   # (NPARAM, Ep) lane-major
+    vals = ent[:, D + tri:]        # (Ep, C) sublane-major
+    return gid, tile, geom, vals, Ep
 
 
 def prepare_samples(state: BinningState, samples, block_n: int):
@@ -85,118 +98,142 @@ def _tile_mask(s_tile_ref, ent_tile_ref):
 
 
 # ---------------------------------------------------------------------------
+# Work list
+# ---------------------------------------------------------------------------
+
+
+def work_list(base, nblk, colmax: int, cap: int):
+    """Flatten per-row-block column sweeps into a static work-item list.
+
+    ``base``/``nblk`` give each row block's sweep [base, base+nblk) over
+    column blocks (binning.forward_geometry / backward_geometry, already
+    padded to the kernel's row-block count).  Every row block emits at least
+    one item (so its output block gets zero-initialized even when it has no
+    work).  Items are ordered by row block, so the kernel's output index map
+    is monotone and Pallas accumulates in VMEM between flushes.
+
+    Returns (row, col, first, compute, initialized, overflow):
+      row/col  (cap,) int32 block indices per work item
+      first    (cap,) 1 where the item is its row block's first -> zero-init
+      compute  (cap,) 1 where the item carries real work
+      initialized (B,) bool per row block: its first item fit under ``cap``
+        (rows of uninitialized blocks are garbage; callers mask them)
+      overflow () int32: work items beyond ``cap`` (0 => exact)
+    """
+    B = base.shape[0]
+    nblk_eff = jnp.maximum(nblk, 1)
+    offs = jnp.cumsum(nblk_eff)
+    total = offs[-1]
+    starts = (offs - nblk_eff).astype(jnp.int32)
+    w = jnp.arange(cap, dtype=jnp.int32)
+    row = jnp.clip(
+        jnp.searchsorted(starts, w, side="right").astype(jnp.int32) - 1,
+        0, B - 1,
+    )
+    off = w - starts[row]
+    live = w < total
+    first = ((off == 0) & live).astype(jnp.int32)
+    compute = ((off < nblk[row]) & live).astype(jnp.int32)
+    col = jnp.clip(
+        base[row] + jnp.minimum(off, jnp.maximum(nblk[row] - 1, 0)),
+        0, colmax - 1,
+    ).astype(jnp.int32)
+    initialized = starts < cap
+    overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
+    return row, col, first, compute, initialized, overflow
+
+
+def work_total(nblk) -> jnp.ndarray:
+    """Work items needed for a (padded) nblk vector; compare against the
+    static capacity for the overflow diagnostic."""
+    return jnp.sum(jnp.maximum(nblk, 1))
+
+
+# ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 
-def _tiled_forward_kernel(orders, period, D, C,
-                          base_ref, nblk_ref,
-                          means_ref, conics_ref, values_ref, ent_tile_ref,
-                          samples_ref, s_tile_ref, *out_refs):
-    i, w = pl.program_id(0), pl.program_id(1)
+def _wl_forward_kernel(orders, period, D, C,
+                       row_ref, col_ref, first_ref, valid_ref,
+                       geom_ref, ent_tile_ref, vals_ref,
+                       samples_ref, s_tile_ref, out_ref):
+    w = pl.program_id(0)
 
-    @pl.when(w == 0)
+    @pl.when(first_ref[w] == 1)
     def _init():
-        for o in out_refs:
-            o[...] = jnp.zeros_like(o)
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(w < nblk_ref[i])
+    @pl.when(valid_ref[w] == 1)
     def _compute():
-        _forward_body(
-            orders, period, D, C, means_ref, conics_ref, values_ref,
-            samples_ref, out_refs,
-            mask_fn=lambda: _tile_mask(s_tile_ref, ent_tile_ref),
-        )
+        tri = tri_size(D)
+        Xs = [
+            formulas.wrap(
+                geom_ref[d, :][None, :] - samples_ref[d, :][:, None], period
+            )
+            for d in range(D)
+        ]
+        con = [geom_ref[D + t, :][None, :] for t in range(tri)]
+        G, a = formulas.power_terms(Xs, con)
+        G = G * _tile_mask(s_tile_ref, ent_tile_ref)
+        vals = vals_ref[...]  # (BP, C)
+        accs = []
+        for order in orders:
+            for wgt in formulas.components(order, Xs, con, G, a):
+                # (BN, BP) @ (BP, C) on the MXU; fp32 accumulation
+                # (config.h:20).
+                accs.append(jnp.dot(wgt, vals,
+                                    preferred_element_type=jnp.float32))
+        out_ref[...] += jnp.concatenate(accs, axis=1)  # (BN, K*C)
 
 
 def tiled_forward(
     orders: Tuple[str, ...],
     period: Optional[float],
-    means, values, conics, samples,
-    state: BinningState,
-    base: jnp.ndarray,     # (NB,) entry-block base per sample block
-    nblk: jnp.ndarray,     # (NB,) entry-block sweep length per sample block
-    work_blocks: int,      # static sweep cap (>= max(nblk) for exactness)
+    D: int, C: int,
+    wl,                    # (row, col, first, compute) from work_list
+    ent,                   # prepare_entries product
+    smp,                   # prepare_samples product
     *,
     block_n: int = 256,
     block_e: int = 512,
-    sorted_outputs: bool = False,
-    ent=None,
-    smp=None,
-) -> List[jnp.ndarray]:
-    """Per-component (N, C) outputs.
+) -> jnp.ndarray:
+    """Packed (Np, K*C) outputs in tile-sorted sample order.
 
-    With ``sorted_outputs=False`` outputs are returned in the caller's sample
-    order; with True they stay in tile-sorted order (row r = sample
-    state.s_perm[r]), skipping the un-sort gather - use for permutation-
-    invariant consumers (losses reduced over samples)."""
-    N, D = samples.shape
-    P, C = values.shape
+    Column layout is component-major: columns [k*C, (k+1)*C) hold component k
+    (components enumerate ``orders`` in sequence).  Rows of sample blocks
+    whose work items overflowed the capacity are garbage - callers mask with
+    the work list's ``initialized``.
+    """
+    row, col, first, compute = wl
+    gid, ent_tile, geom, vals, Ep = ent
+    s_sorted, s_tile, Np = smp
     K = total_components(orders, D)
+    NPARAM = n_params(D, C)
     tri = tri_size(D)
-
-    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = (
-        ent if ent is not None
-        else prepare_entries(state, means, values, conics, block_e)
-    )
-    s_sorted, s_tile, Np = (
-        smp if smp is not None else prepare_samples(state, samples, block_n)
-    )
-    NB = Np // block_n
-    EBmax = Ep // block_e
-    base = jnp.clip(_pad_axis(base, 0, NB), 0, EBmax - 1)
-    nblk = _pad_axis(nblk, 0, NB)
-
-    # Clamp the sweep index at the block's last real entry block: iterations
-    # beyond nblk (predicated off in-kernel) then re-address the same block,
-    # which Pallas recognizes and skips the DMA for - large static work caps
-    # cost only grid overhead, not bandwidth.
-    def _e(i, w, base_ref, nblk_ref):
-        w_eff = jnp.minimum(w, jnp.maximum(nblk_ref[i] - 1, 0))
-        return jnp.minimum(base_ref[i] + w_eff, EBmax - 1)
-
-    def eidx(i, w, base_ref, nblk_ref):
-        return (0, _e(i, w, base_ref, nblk_ref))
-
-    def eidx_rows(i, w, base_ref, nblk_ref):
-        return (_e(i, w, base_ref, nblk_ref), 0)
+    cap = row.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(NB, work_blocks),
+        num_scalar_prefetch=4,
+        grid=(cap,),
         in_specs=[
-            pl.BlockSpec((D, block_e), eidx),
-            pl.BlockSpec((tri, block_e), eidx),
-            pl.BlockSpec((block_e, C), eidx_rows),
-            pl.BlockSpec((1, block_e), eidx),
-            pl.BlockSpec((D, block_n), lambda i, w, b, n: (0, i)),
-            pl.BlockSpec((1, block_n), lambda i, w, b, n: (0, i)),
+            pl.BlockSpec((NPARAM, block_e), lambda w, r, c, f, v: (0, c[w])),
+            pl.BlockSpec((1, block_e), lambda w, r, c, f, v: (0, c[w])),
+            pl.BlockSpec((block_e, C), lambda w, r, c, f, v: (c[w], 0)),
+            pl.BlockSpec((D, block_n), lambda w, r, c, f, v: (0, r[w])),
+            pl.BlockSpec((1, block_n), lambda w, r, c, f, v: (0, r[w])),
         ],
-        out_specs=[
-            pl.BlockSpec((block_n, C), lambda i, w, b, n: (i, 0))
-            for _ in range(K)
-        ],
+        out_specs=pl.BlockSpec(
+            (block_n, K * C), lambda w, r, c, f, v: (r[w], 0)
+        ),
     )
 
-    outs = pl.pallas_call(
-        functools.partial(_tiled_forward_kernel, orders, period, D, C),
+    return pl.pallas_call(
+        functools.partial(_wl_forward_kernel, orders, period, D, C),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Np, C), jnp.float32) for _ in range(K)
-        ],
+        out_shape=jax.ShapeDtypeStruct((Np, K * C), jnp.float32),
         interpret=_interpret(),
-    )(base, nblk, ent_means, ent_conics, ent_values, ent_tile, s_sorted, s_tile)
-
-    if sorted_outputs:
-        return [o[:N] for o in outs]
-    # Un-sort back to caller order: sorted row r holds sample s_perm[r].
-    # One concatenated gather for all K components (TPU gathers are per-row;
-    # wider rows amortize the fixed cost K-fold).
-    inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
-        jnp.arange(N, dtype=jnp.int32)
-    )
-    packed = jnp.concatenate([o[:N] for o in outs], axis=1)[inv]
-    return [packed[:, k * C : (k + 1) * C] for k in range(K)]
+    )(row, col, first, compute, geom, ent_tile, vals, s_sorted, s_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -204,123 +241,109 @@ def tiled_forward(
 # ---------------------------------------------------------------------------
 
 
-def _tiled_backward_kernel(orders, period, D, C, K, base_ref, nblk_ref, *refs):
-    (means_ref, conics_ref, values_t_ref, ent_tile_ref, samples_ref,
-     s_tile_ref) = refs[:6]
-    g_refs = refs[6 : 6 + K]
-    dmeans_ref, dvalues_ref, dconics_ref = refs[6 + K :]
-    j, w = pl.program_id(0), pl.program_id(1)
+def _wl_backward_kernel(orders, period, D, C,
+                        row_ref, col_ref, first_ref, valid_ref,
+                        geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
+                        ct_ref, ct_t_ref, dent_ref):
+    w = pl.program_id(0)
+    tri = tri_size(D)
 
-    @pl.when(w == 0)
+    @pl.when(first_ref[w] == 1)
     def _init():
-        dmeans_ref[...] = jnp.zeros_like(dmeans_ref)
-        dvalues_ref[...] = jnp.zeros_like(dvalues_ref)
-        dconics_ref[...] = jnp.zeros_like(dconics_ref)
+        dent_ref[...] = jnp.zeros_like(dent_ref)
 
-    @pl.when(w < nblk_ref[j])
+    @pl.when(valid_ref[w] == 1)
     def _compute():
-        _backward_body(
-            orders, period, D, C, means_ref, conics_ref, values_t_ref,
-            samples_ref, g_refs, dmeans_ref, dvalues_ref, dconics_ref,
-            mask_fn=lambda: _tile_mask(s_tile_ref, ent_tile_ref),
+        Xs = [
+            formulas.wrap(
+                geom_ref[d, :][None, :] - samples_ref[d, :][:, None], period
+            )
+            for d in range(D)
+        ]
+        con = [geom_ref[D + t, :][None, :] for t in range(tri)]
+        G, a = formulas.power_terms(Xs, con)
+        G = G * _tile_mask(s_tile_ref, ent_tile_ref)
+        values_t = geom_ref[D + tri:D + tri + C, :]  # (C, BP)
+        ct = ct_ref[...]                              # (BN, K*C)
+
+        k0 = 0
+        dvals = None
+        dmu_acc = [None] * D
+        dcon_acc = [None] * tri
+        for order in orders:
+            nk = n_components(order, D)
+            comps = formulas.components(order, Xs, con, G, a)
+            hs = []
+            for k in range(nk):
+                g_nc = ct[:, (k0 + k) * C:(k0 + k + 1) * C]   # (BN, C)
+                # h[n,p] = sum_c values[p,c] * g[n,c]  (backward.cu:122)
+                hs.append(jnp.dot(g_nc, values_t,
+                                  preferred_element_type=jnp.float32))
+                # dL/dvalues[c,p] += sum_n W_k[n,p] * g[n,c]
+                g_t = ct_t_ref[(k0 + k) * C:(k0 + k + 1) * C, :]  # (C, BN)
+                dv = jnp.dot(g_t, comps[k],
+                             preferred_element_type=jnp.float32)
+                dvals = dv if dvals is None else dvals + dv
+            dmu, dcon = formulas.vjp_params(order, Xs, con, G, a, hs)
+            for d in range(D):
+                dmu_acc[d] = dmu[d] if dmu_acc[d] is None else dmu_acc[d] + dmu[d]
+            for t in range(tri):
+                dcon_acc[t] = (
+                    dcon[t] if dcon_acc[t] is None else dcon_acc[t] + dcon[t]
+                )
+            k0 += nk
+
+        rows = (
+            [jnp.sum(m, axis=0, keepdims=True) for m in dmu_acc]
+            + [jnp.sum(ctn, axis=0, keepdims=True) for ctn in dcon_acc]
+            + [dvals]
         )
+        dent_ref[...] += jnp.concatenate(rows, axis=0)  # (NPARAM, BP)
 
 
 def tiled_backward(
     orders: Tuple[str, ...],
     period: Optional[float],
-    means, values, conics, samples,
-    gs: Sequence[jnp.ndarray],  # K x (N, C) cotangents, original order
-    state: BinningState,
-    base: jnp.ndarray,     # (EB,) sample-block base per entry block
-    nblk: jnp.ndarray,     # (EB,) sample-block sweep length per entry block
-    work_blocks: int,
+    D: int, C: int,
+    wl,                    # (row=entry block, col=sample block, first, compute)
+    ent, smp,
+    ct,                    # (Np, K*C) packed cotangents, tile-sorted rows
+    ct_t,                  # (K*C, Np) the same, lane-major
     *,
     block_n: int = 128,
     block_e: int = 256,
-    gs_sorted: bool = False,
-    ent=None,
-    smp=None,
-):
-    """Deterministic per-entry gradients + segment-sum by gaussian id.
-
-    ``gs_sorted=True`` means the cotangents already arrive in tile-sorted
-    sample order (the forward ran with sorted_outputs=True)."""
-    N, D = samples.shape
-    P, C = values.shape
+) -> jnp.ndarray:
+    """Packed per-entry gradients (D+tri+C, Ep): means rows, conic rows,
+    value rows.  The caller segment-sums by gaussian id (deterministic
+    replacement for backward.cu's atomicAdd scatter) after masking
+    uninitialized entry blocks."""
+    row, col, first, compute = wl
+    gid, ent_tile, geom, vals, Ep = ent
+    s_sorted, s_tile, Np = smp
     K = total_components(orders, D)
+    NPARAM = n_params(D, C)
     tri = tri_size(D)
-
-    gid, ent_tile, ent_means, ent_values, ent_conics, Ep = (
-        ent if ent is not None
-        else prepare_entries(state, means, values, conics, block_e)
-    )
-    ent_values_t = ent_values.T  # (C, Ep)
-    s_sorted, s_tile, Np = (
-        smp if smp is not None else prepare_samples(state, samples, block_n)
-    )
-    if gs_sorted:
-        gs_s = [_pad_axis(g, 0, Np) for g in gs]
-    else:
-        # One concatenated permute-gather for all K cotangents.
-        packed = jnp.concatenate(list(gs), axis=1)[state.s_perm]
-        gs_s = [
-            _pad_axis(packed[:, k * C : (k + 1) * C], 0, Np) for k in range(K)
-        ]
-
-    EB = Ep // block_e
-    NBmax = Np // block_n
-    base = jnp.clip(_pad_axis(base, 0, EB), 0, NBmax - 1)
-    nblk = _pad_axis(nblk, 0, EB)
-
-    # Same skip-DMA clamp as the forward sweep.
-    def _s(j, w, base_ref, nblk_ref):
-        w_eff = jnp.minimum(w, jnp.maximum(nblk_ref[j] - 1, 0))
-        return jnp.minimum(base_ref[j] + w_eff, NBmax - 1)
-
-    def sidx(j, w, base_ref, nblk_ref):
-        return (0, _s(j, w, base_ref, nblk_ref))
-
-    def sidx_rows(j, w, base_ref, nblk_ref):
-        return (_s(j, w, base_ref, nblk_ref), 0)
+    cap = row.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(EB, work_blocks),
+        num_scalar_prefetch=4,
+        grid=(cap,),
         in_specs=[
-            pl.BlockSpec((D, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((tri, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((C, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((1, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((D, block_n), sidx),
-            pl.BlockSpec((1, block_n), sidx),
-        ]
-        + [pl.BlockSpec((block_n, C), sidx_rows) for _ in range(K)],
-        out_specs=[
-            pl.BlockSpec((D, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((C, block_e), lambda j, w, b, n: (0, j)),
-            pl.BlockSpec((tri, block_e), lambda j, w, b, n: (0, j)),
+            pl.BlockSpec((NPARAM, block_e), lambda w, r, c, f, v: (0, r[w])),
+            pl.BlockSpec((1, block_e), lambda w, r, c, f, v: (0, r[w])),
+            pl.BlockSpec((D, block_n), lambda w, r, c, f, v: (0, c[w])),
+            pl.BlockSpec((1, block_n), lambda w, r, c, f, v: (0, c[w])),
+            pl.BlockSpec((block_n, K * C), lambda w, r, c, f, v: (c[w], 0)),
+            pl.BlockSpec((K * C, block_n), lambda w, r, c, f, v: (0, c[w])),
         ],
+        out_specs=pl.BlockSpec(
+            (NPARAM, block_e), lambda w, r, c, f, v: (0, r[w])
+        ),
     )
 
-    d_ent_means, d_ent_values_t, d_ent_conics = pl.pallas_call(
-        functools.partial(_tiled_backward_kernel, orders, period, D, C, K),
+    return pl.pallas_call(
+        functools.partial(_wl_backward_kernel, orders, period, D, C),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((D, Ep), jnp.float32),
-            jax.ShapeDtypeStruct((C, Ep), jnp.float32),
-            jax.ShapeDtypeStruct((tri, Ep), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((NPARAM, Ep), jnp.float32),
         interpret=_interpret(),
-    )(base, nblk, ent_means, ent_conics, ent_values_t, ent_tile, s_sorted,
-      s_tile, *gs_s)
-
-    # Deterministic scatter: segment-sum entry gradients by gaussian id
-    # (replaces backward.cu's atomicAdd on dL_dmeans/values/conics).
-    seg = functools.partial(
-        jax.ops.segment_sum, segment_ids=gid, num_segments=P + 1
-    )
-    d_means = seg(d_ent_means.T)[:P]
-    d_values = seg(d_ent_values_t.T)[:P]
-    d_conics = seg(d_ent_conics.T)[:P]
-    return d_means, d_values, d_conics
+    )(row, col, first, compute, geom, ent_tile, s_sorted, s_tile, ct, ct_t)

@@ -186,61 +186,98 @@ sample_pallas_multi.defvjp(_sample_pallas_multi_fwd, _sample_pallas_multi_bwd)
 def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
                        means, values, conics, samples, state,
                        fwd_geom, bwd_geom,
-                       fwd_work_blocks: int, bwd_work_blocks: int,
+                       fwd_work_items: int, bwd_work_items: int,
                        *, block_n: int = 256, block_e: int = 512,
                        bwd_block_n: int = 128, bwd_block_e: int = 256,
                        sorted_outputs: bool = False):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
-    backward_geometry).  The work-block caps are static; exactness requires
-    them to cover max(nblocks) (checked by ops.required_work_blocks).
-    Gradients flow to (means, values, conics) only - the reference's autograd
-    contract (__init__.py:113-126).
+    backward_geometry).  ``fwd_work_items``/``bwd_work_items`` are the static
+    work-list capacities (total real block pairs; exactness requires them to
+    cover ``work_total`` of the padded geometry - checked by sample_binned's
+    diagnostics or the facade's eager sizing).  Gradients flow to (means,
+    values, conics) only - the reference's autograd contract
+    (__init__.py:113-126).
     """
     from ..kernels import tiled as ktiled
+    from ..kernels.dense import _pad_axis, _round_up
 
     N, D = samples.shape
-    C = values.shape[1]
-    fb, fn = fwd_geom
-    bb, bn = bwd_geom
+    P, C = values.shape
+    tri = tri_size(D)
 
-    # Shared preparation: entry padding aligned to both kernels' block sizes
-    # so one gather serves forward and backward; sample sorting is parameter-
-    # independent and hoisted entirely.
+    # Shared preparation: entry/sample padding aligned to both kernels' block
+    # sizes so one gather serves forward and backward; sample sorting is
+    # parameter-independent and hoisted entirely.
     align_e = max(block_e, bwd_block_e)
     align_n = max(block_n, bwd_block_n)
     smp = ktiled.prepare_samples(state, samples, align_n)
+    Np = smp[2]
+    Ep = _round_up(state.num_entries, align_e)
+
+    NB_f, EB_f = Np // block_n, Ep // block_e
+    EB_b, NB_b = Ep // bwd_block_e, Np // bwd_block_n
+
+    fb, fn = fwd_geom
+    bb, bn = bwd_geom
+    fb = jnp.clip(_pad_axis(fb, 0, NB_f), 0, EB_f - 1)
+    fn = _pad_axis(fn, 0, NB_f)
+    bb = jnp.clip(_pad_axis(bb, 0, EB_b), 0, NB_b - 1)
+    bn = _pad_axis(bn, 0, EB_b)
+    wl_f = ktiled.work_list(fb, fn, EB_f, fwd_work_items)
+    wl_b = ktiled.work_list(bb, bn, NB_b, bwd_work_items)
+    init_f = jnp.repeat(
+        wl_f[4].astype(jnp.float32), block_n
+    )[:, None]                                   # (Np, 1)
+    init_b = jnp.repeat(
+        wl_b[4].astype(jnp.float32), bwd_block_e
+    )[None, :]                                   # (1, Ep)
+
+    if not sorted_outputs:
+        inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
+            jnp.arange(N, dtype=jnp.int32)
+        )
 
     @jax.custom_vjp
     def f(m, v, c):
         ent = ktiled.prepare_entries(state, m, v, c, align_e)
-        return tuple(ktiled.tiled_forward(
-            orders, period, m, v, c, samples, state, fb, fn,
-            fwd_work_blocks, block_n=block_n, block_e=block_e,
-            sorted_outputs=sorted_outputs, ent=ent, smp=smp,
-        ))
+        packed = ktiled.tiled_forward(
+            orders, period, D, C, wl_f[:4], ent, smp,
+            block_n=block_n, block_e=block_e,
+        )
+        packed = packed * init_f  # zero rows of uninitialized blocks
+        out = packed[:N]
+        return out if sorted_outputs else out[inv]
 
     def f_fwd(m, v, c):
-        ent = ktiled.prepare_entries(state, m, v, c, align_e)
-        outs = tuple(ktiled.tiled_forward(
-            orders, period, m, v, c, samples, state, fb, fn,
-            fwd_work_blocks, block_n=block_n, block_e=block_e,
-            sorted_outputs=sorted_outputs, ent=ent, smp=smp,
-        ))
-        return outs, ent
+        return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e)
 
-    def f_bwd(ent, gs):
-        return ktiled.tiled_backward(
-            orders, period, means, values, conics, samples, list(gs), state,
-            bb, bn, bwd_work_blocks,
+    def f_bwd(ent, g):
+        # g: (N, K*C) packed cotangent in the forward's row order.
+        gp = g if sorted_outputs else g[state.s_perm]
+        gp = _pad_axis(gp, 0, Np)
+        dent = ktiled.tiled_backward(
+            orders, period, D, C, wl_b[:4], ent, smp, gp, gp.T,
             block_n=bwd_block_n, block_e=bwd_block_e,
-            gs_sorted=sorted_outputs, ent=ent, smp=smp,
         )
+        dent = dent * init_b
+        # Deterministic scatter: segment-sum entry gradients by gaussian id
+        # (replaces backward.cu's atomicAdd on dL_dmeans/values/conics).
+        d = jax.ops.segment_sum(dent.T, ent[0], num_segments=P + 1)[:P]
+        return d[:, :D], d[:, D + tri:], d[:, D:D + tri]
 
     f.defvjp(f_fwd, f_bwd)
-    comp_list = f(means, values, conics)
-    return _split_orders(orders, list(comp_list), N, D, C)
+    packed = f(means, values, conics)
+
+    outs, k0 = [], 0
+    for order in orders:
+        nk = n_components(order, D)
+        outs.append(
+            packed[:, k0 * C:(k0 + nk) * C].reshape(out_shape(order, N, D, C))
+        )
+        k0 += nk
+    return tuple(outs)
 
 
 def sample_binned(cfg, means, values, conics, covariances, samples,
@@ -257,15 +294,32 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
     silent reliance on dynamically sized buffers).
     """
     from ..binning import grid as binning
+    from ..kernels import tiled as ktiled
+    from ..kernels.dense import _round_up
 
+    N = samples.shape[0]
     state = binning.build(cfg, means, covariances, samples)
     bn, be = cfg.block_n, cfg.block_p
     bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
     fwd_geom = binning.forward_geometry(state, bn, be)
     bwd_geom = binning.backward_geometry(state, bbe, bbn)
+
+    # Static work-list capacities: explicit totals from the capacity planner
+    # when set (cfg.work_items_*; exact, plus slack for the pad blocks the
+    # planner cannot see), else the per-block cap fallback.
+    align_n, align_e = max(bn, bbn), max(be, bbe)
+    NB_f = _round_up(N, align_n) // bn
+    EB_b = _round_up(state.num_entries, align_e) // bbe
+    slack_f = NB_f - fwd_geom[0].shape[0]
+    slack_b = EB_b - bwd_geom[0].shape[0]
+    cap_f = (cfg.work_items_fwd + slack_f if cfg.work_items_fwd
+             else NB_f * cfg.work_blocks_fwd)
+    cap_b = (cfg.work_items_bwd + slack_b if cfg.work_items_bwd
+             else EB_b * cfg.work_blocks_bwd)
+
     outs = sample_tiled_multi(
         tuple(orders), cfg.period, means, values, conics, samples, state,
-        fwd_geom, bwd_geom, cfg.work_blocks_fwd, cfg.work_blocks_bwd,
+        fwd_geom, bwd_geom, cap_f, cap_b,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
         sorted_outputs=sorted_outputs,
     )
@@ -274,8 +328,12 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         "perm": state.s_perm if sorted_outputs else None,
         "bin_overflow": state.overflow,
         "entry_overflow": state.entry_overflow,
-        "work_overflow_fwd": jnp.sum(fwd_geom[1] > cfg.work_blocks_fwd),
-        "work_overflow_bwd": jnp.sum(bwd_geom[1] > cfg.work_blocks_bwd),
+        "work_overflow_fwd": jnp.maximum(
+            ktiled.work_total(fwd_geom[1]) + slack_f - cap_f, 0
+        ),
+        "work_overflow_bwd": jnp.maximum(
+            ktiled.work_total(bwd_geom[1]) + slack_b - cap_b, 0
+        ),
     }
     return dict(zip(orders, outs)), diag
 

@@ -109,8 +109,22 @@ class GaussianSampler:
             bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
             self._fwd_geom = binning.forward_geometry(state, bn, be)
             self._bwd_geom = binning.backward_geometry(state, bbe, bbn)
-            self._fwd_work = _bucket(int(jax.device_get(self._fwd_geom[1].max())))
-            self._bwd_work = _bucket(int(jax.device_get(self._bwd_geom[1].max())))
+            # Exact work-list totals (eager host read), bucketed to bound
+            # recompilation; plus slack for alignment-padded row blocks.
+            from .kernels import tiled as ktiled
+            from .kernels.dense import _round_up
+
+            N = samples.shape[0]
+            NB_f = _round_up(N, max(bn, bbn)) // bn
+            EB_b = _round_up(state.num_entries, max(be, bbe)) // bbe
+            total_f = int(jax.device_get(ktiled.work_total(self._fwd_geom[1])))
+            total_b = int(jax.device_get(ktiled.work_total(self._bwd_geom[1])))
+            self._fwd_work = _bucket(
+                total_f + (NB_f - self._fwd_geom[0].shape[0])
+            )
+            self._bwd_work = _bucket(
+                total_b + (EB_b - self._bwd_geom[0].shape[0])
+            )
             self._blocks = (bn, be, bbn, bbe)
         else:
             from .oracle.dense import radii as compute_radii

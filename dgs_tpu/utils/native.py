@@ -74,7 +74,7 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
 
     lib = _load()
     if lib is not None:
-        out = (ctypes.c_int64 * 8)()
+        out = (ctypes.c_int64 * 10)()
         rc = lib.dgs_plan_capacities(
             means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             covs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -101,6 +101,9 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
                 "work_blocks_bwd": vals[5],
                 "culled": vals[6],
                 "occupied_tiles": vals[7],
+                # Flattened work-list totals for SamplerConfig.work_items_*.
+                "work_items_fwd": vals[8],
+                "work_items_bwd": vals[9],
             }
     return _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe)
 
@@ -124,16 +127,54 @@ def _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe) -> dict:
         rad = np.asarray(state.radii)
         lo, hi = binning.gaussian_rects(cfg, means, state.radii)
         ext = np.asarray(hi - lo)
+        fn_np, bn_np = np.asarray(fn), np.asarray(bnn)
         return {
             "entries": int(valid.sum()),
             "max_extent": int(ext.max(initial=0)),
             "max_tile_entries": int(counts.max(initial=0)),
             "max_tile_samples": int(s_counts.max(initial=0)),
-            "work_blocks_fwd": int(np.asarray(fn).max(initial=0)),
-            "work_blocks_bwd": int(np.asarray(bnn).max(initial=0)),
+            "work_blocks_fwd": int(fn_np.max(initial=0)),
+            "work_blocks_bwd": int(bn_np.max(initial=0)),
             "culled": int((rad <= 0).sum()),
             "occupied_tiles": int(len(tiles)),
+            "work_items_fwd": int(np.maximum(fn_np, 1).sum()),
+            "work_items_bwd": int(np.maximum(bn_np, 1).sum()),
         }
+
+
+def config_from_plan(cfg, plan: dict, P: int) -> "SamplerConfig":
+    """Tight SamplerConfig from a capacity plan.
+
+    Sets max_tiles_per_gaussian, entry_capacity_factor and the exact
+    work-list capacities.  The planner's backward total covers the dense
+    entry list; the sentinel slots of the static entry capacity add one work
+    item per extra entry block, corrected here so the capacities are exact
+    (overflow diagnostics stay 0).
+    """
+    import dataclasses
+
+    R = max(int(plan["max_extent"]), 1)
+    factor = plan["entries"] / max(P, 1) + 0.05
+    cfg = dataclasses.replace(
+        cfg, max_tiles_per_gaussian=R, entry_capacity_factor=factor,
+        work_blocks_fwd=max(int(plan["work_blocks_fwd"]), 1),
+        work_blocks_bwd=max(int(plan["work_blocks_bwd"]), 1),
+    )
+    # Mirror binning/grid.py's static entry capacity.
+    e_cap = min(max(int(-(-factor * P // 128)) * 128, 4096), P * R ** cfg.D)
+    bbe = max(cfg.block_p // 2, 128)
+    sentinel_blocks = -(-e_cap // bbe) - -(-int(plan["entries"]) // bbe)
+    # Safety margin: the planner bins in f64 while the device bins in f32, so
+    # borderline 3-sigma tiles can differ by a few entries.  Sentinel work
+    # items cost only a skipped grid step, so over-provisioning ~2% is free.
+    def pad(total):
+        return int(total) + int(total) // 64 + 64
+
+    return dataclasses.replace(
+        cfg,
+        work_items_fwd=pad(plan["work_items_fwd"]),
+        work_items_bwd=pad(plan["work_items_bwd"]) + max(sentinel_blocks, 0),
+    )
 
 
 def max_collisions(cfg, means, radii) -> int:

@@ -32,9 +32,10 @@ def _build(cfg, m, cov, s, block_n=128, block_e=128, bwd_n=64, bwd_e=128):
     state = binning.build(cfg, m, cov, s)
     fwd_geom = binning.forward_geometry(state, block_n, block_e)
     bwd_geom = binning.backward_geometry(state, bwd_e, bwd_n)
-    fwd_work = int(jax.device_get(fwd_geom[1].max()))
-    bwd_work = int(jax.device_get(bwd_geom[1].max()))
-    return state, fwd_geom, bwd_geom, max(fwd_work, 1), max(bwd_work, 1)
+    # Work-list capacities: exact totals (every row block emits >= 1 item).
+    fwd_work = int(jax.device_get(jnp.maximum(fwd_geom[1], 1).sum()))
+    bwd_work = int(jax.device_get(jnp.maximum(bwd_geom[1], 1).sum()))
+    return state, fwd_geom, bwd_geom, fwd_work, bwd_work
 
 
 @pytest.mark.parametrize("D", [1, 2, 3])
