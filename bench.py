@@ -71,12 +71,29 @@ def main():
     cfg = native.config_from_plan(cfg, plan, P)
 
     def loss_fn(field, samples):
-        # sum-of-squares is permutation invariant -> keep outputs tile-sorted
+        # Sum-of-squares over the FULL symmetric tensors, computed from the
+        # unique components with their mirror multiplicities (permutation
+        # invariant -> also keep outputs tile-sorted; both skip epilogues
+        # without changing the value).
+        tiled = method == "tiled"
         outs, diag = field_outputs(cfg, field, samples, orders=ORDERS,
-                                   method=method,
-                                   sorted_outputs=(method == "tiled"))
+                                   method=method, sorted_outputs=tiled,
+                                   unique_outputs=tiled)
         diag = {k: v for k, v in diag.items() if k != "perm"}
-        loss = sum(jnp.sum(o * o) for o in outs.values())
+        if tiled:
+            from dgs_tpu.ops import formulas
+
+            loss = sum(
+                jnp.einsum(
+                    "nuc,u->",
+                    o * o,
+                    jnp.asarray(formulas.sym_multiplicity(order, D),
+                                jnp.float32),
+                )
+                for order, o in outs.items()
+            )
+        else:
+            loss = sum(jnp.sum(o * o) for o in outs.values())
         return loss, diag
 
     @jax.jit

@@ -50,6 +50,9 @@ class BinningState(NamedTuple):
     s_perm: jnp.ndarray       # (N,) int32 sample id by sorted position
     s_tile: jnp.ndarray       # (1, N) int32 tile of sorted sample, T+1 = pad
     s_start: jnp.ndarray      # (T+2,) int32 sample range starts per tile
+    s_sorted: jnp.ndarray     # (D, N) sample coords by sorted position
+    #   (carried as sort payload - re-gathering 1M rows by s_perm costs more
+    #    than moving the coordinates through the sort)
     # Per-Gaussian culling radius (exposed like reference radii,
     # sample_points.cu:54: zero radius = culled).
     radii: jnp.ndarray        # (P,) float32
@@ -167,9 +170,12 @@ def build(
     ).reshape(P * dup)
     ent_gid_flat = jnp.where(ent_tile_flat == T, P, ent_gid_flat)
 
-    order = jnp.argsort(ent_tile_flat)  # stable: preserves gaussian order/tile
-    ent_tile = ent_tile_flat[order]
-    ent_gid = ent_gid_flat[order]
+    # Pair sort with the gaussian id as payload (stable: preserves gaussian
+    # order within a tile).  argsort + two gathers would pay ~7ns/row random
+    # access twice; the payload rides the sort's sequential merges instead.
+    ent_tile, ent_gid = jax.lax.sort(
+        (ent_tile_flat, ent_gid_flat), num_keys=1, is_stable=True
+    )
 
     # Compact: sentinels sorted last, so truncating to the static entry
     # capacity drops only unused slots (or, if the footprints are unusually
@@ -190,8 +196,13 @@ def build(
     ).astype(jnp.int32)
 
     s_tile_raw = sample_tiles(cfg, samples)
-    s_perm = jnp.argsort(s_tile_raw).astype(jnp.int32)
-    s_tile = s_tile_raw[s_perm]
+    sorted_ops = jax.lax.sort(
+        (s_tile_raw, jnp.arange(N, dtype=jnp.int32))
+        + tuple(samples[:, d] for d in range(D)),
+        num_keys=1, is_stable=True,
+    )
+    s_tile, s_perm = sorted_ops[0], sorted_ops[1]
+    s_sorted = jnp.stack(sorted_ops[2:], axis=0)  # (D, N)
     s_start = jnp.searchsorted(
         s_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -203,6 +214,7 @@ def build(
         s_perm=s_perm,
         s_tile=s_tile[None, :],
         s_start=s_start,
+        s_sorted=s_sorted,
         radii=rad,
         overflow=overflow,
         entry_overflow=entry_overflow,

@@ -75,9 +75,12 @@ class SamplerConfig:
     tile_sample_capacity: int = 1024
     dtype: str = "float32"
 
-    # Pallas block sizes (tunable).
+    # Pallas block sizes (tunable).  The backward pair blocks default to half
+    # the forward sizes (min 8 sublanes / 128 lanes); set explicitly to tune.
     block_n: int = 256
     block_p: int = 512
+    block_n_bwd: Optional[int] = None
+    block_p_bwd: Optional[int] = None
     # Static work-list capacity for the tiled kernels when binning is built
     # inside a jitted step (the eager facade auto-sizes instead).  The kernels
     # run one grid step per real (sample-block, entry-block) pair; exactness
@@ -93,6 +96,13 @@ class SamplerConfig:
     @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def bwd_blocks(self):
+        """(block_n_bwd, block_p_bwd) with the half-size defaults."""
+        bn = self.block_n_bwd or max(self.block_n // 2, 8)
+        be = self.block_p_bwd or max(self.block_p // 2, 128)
+        return bn, be
 
     @property
     def D(self) -> int:

@@ -43,6 +43,13 @@ from ..ops import formulas
 from .dense import (_interpret, _pad_axis, _round_up, total_components)
 
 
+def total_unique(orders, D: int) -> int:
+    """Unique (canonical) components across the fused orders - the kernels
+    compute only i<=j<=k of the symmetric tensors; the public layer mirrors
+    (see formulas.sym_indices)."""
+    return sum(formulas.n_unique(o, D) for o in orders)
+
+
 def n_params(D: int, C: int) -> int:
     """Rows of the packed per-entry parameter/gradient arrays."""
     return D + tri_size(D) + C
@@ -84,8 +91,7 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int):
 def prepare_samples(state: BinningState, samples, block_n: int):
     N, D = samples.shape
     Np = _round_up(N, block_n)
-    s_sorted = samples[state.s_perm].T  # (D, N)
-    s_sorted = _pad_axis(s_sorted, 1, Np)
+    s_sorted = _pad_axis(state.s_sorted, 1, Np)  # sorted coords ride the sort
     s_tile = _pad_axis(state.s_tile, 1, Np)
     s_tile = jnp.where(jnp.arange(Np)[None, :] >= N, jnp.int32(2**30 + 1), s_tile)
     return s_sorted, s_tile, Np
@@ -179,7 +185,7 @@ def _wl_forward_kernel(orders, period, D, C,
         vals = vals_ref[...]  # (BP, C)
         accs = []
         for order in orders:
-            for wgt in formulas.components(order, Xs, con, G, a):
+            for wgt in formulas.components_unique(order, Xs, con, G, a):
                 # (BN, BP) @ (BP, C) on the MXU; fp32 accumulation
                 # (config.h:20).
                 accs.append(jnp.dot(wgt, vals,
@@ -208,7 +214,7 @@ def tiled_forward(
     row, col, first, compute = wl
     gid, ent_tile, geom, vals, Ep = ent
     s_sorted, s_tile, Np = smp
-    K = total_components(orders, D)
+    K = total_unique(orders, D)
     NPARAM = n_params(D, C)
     tri = tri_size(D)
     cap = row.shape[0]
@@ -271,8 +277,8 @@ def _wl_backward_kernel(orders, period, D, C,
         dmu_acc = [None] * D
         dcon_acc = [None] * tri
         for order in orders:
-            nk = n_components(order, D)
-            comps = formulas.components(order, Xs, con, G, a)
+            nk = formulas.n_unique(order, D)
+            comps = formulas.components_unique(order, Xs, con, G, a)
             hs = []
             for k in range(nk):
                 g_nc = ct[:, (k0 + k) * C:(k0 + k + 1) * C]   # (BN, C)
@@ -284,7 +290,7 @@ def _wl_backward_kernel(orders, period, D, C,
                 dv = jnp.dot(g_t, comps[k],
                              preferred_element_type=jnp.float32)
                 dvals = dv if dvals is None else dvals + dv
-            dmu, dcon = formulas.vjp_params(order, Xs, con, G, a, hs)
+            dmu, dcon = formulas.vjp_params_folded(order, Xs, con, G, a, hs)
             for d in range(D):
                 dmu_acc[d] = dmu[d] if dmu_acc[d] is None else dmu_acc[d] + dmu[d]
             for t in range(tri):
@@ -320,7 +326,7 @@ def tiled_backward(
     row, col, first, compute = wl
     gid, ent_tile, geom, vals, Ep = ent
     s_sorted, s_tile, Np = smp
-    K = total_components(orders, D)
+    K = total_unique(orders, D)
     NPARAM = n_params(D, C)
     tri = tri_size(D)
     cap = row.shape[0]

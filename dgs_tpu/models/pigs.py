@@ -59,20 +59,24 @@ class TrainState(NamedTuple):
 
 def field_outputs(cfg: SamplerConfig, field: GaussianField, samples,
                   orders=("value", "derivative", "laplacian"),
-                  method: str = "tiled", sorted_outputs: bool = False):
+                  method: str = "tiled", sorted_outputs: bool = False,
+                  unique_outputs: bool = False):
     """Bin once, evaluate the requested orders (the reference's
     preprocess-once / evaluate-4x reuse, SURVEY.md 3.5).
 
     With ``sorted_outputs=True`` (tiled only) outputs stay in tile-sorted
     order and diag["perm"] maps rows back to samples - losses that reduce
     over samples should evaluate their targets at ``samples[perm]`` instead
-    of paying un-sort gathers."""
+    of paying un-sort gathers.  With ``unique_outputs=True`` (tiled only)
+    each order comes back as its canonical (N, n_unique, C) components
+    without the symmetric mirror (see formulas.sym_indices)."""
     conics = field.conics()
     if method == "tiled":
         covs = field.covariances()
         return sampling.sample_binned(
             cfg, field.means, field.values, conics, covs, samples,
             tuple(orders), sorted_outputs=sorted_outputs,
+            unique_outputs=unique_outputs,
         )
     outs = sampling.sample_all(
         field.means, field.values, conics, samples,
@@ -88,24 +92,33 @@ def pigs_loss(cfg: SamplerConfig, field: GaussianField, collocation,
               w_data: float = 1.0, method: str = "tiled"):
     """PDE residual + data loss; returns (loss, metrics)."""
     D = field.D
-    use_sorted = method == "tiled"
+    use_tiled = method == "tiled"
     outs, diag = field_outputs(
         cfg, field, collocation, orders=("value", "laplacian"),
-        method=method, sorted_outputs=use_sorted,
+        method=method, sorted_outputs=use_tiled, unique_outputs=use_tiled,
     )
-    col_pts = collocation[diag["perm"]] if use_sorted else collocation
-    u = outs["value"]                       # (N, C)
-    hess = outs["laplacian"]                # (N, D, D, C)
-    lap = jnp.trace(hess, axis1=1, axis2=2) # (N, C)
+    col_pts = collocation[diag["perm"]] if use_tiled else collocation
+    if use_tiled:
+        from ..ops import formulas
+
+        u = outs["value"][:, 0, :]          # (N, 1, C) -> (N, C)
+        hessu = outs["laplacian"]           # (N, tri, C) unique components
+        diag_idx = formulas.unique_diag_indices(D)
+        lap = sum(hessu[:, i, :] for i in diag_idx)  # trace (N, C)
+    else:
+        u = outs["value"]                       # (N, C)
+        hess = outs["laplacian"]                # (N, D, D, C)
+        lap = jnp.trace(hess, axis1=1, axis2=2) # (N, C)
     pde_residual = -lap - f_rhs(col_pts)
     pde = jnp.mean(pde_residual**2)
 
     outs_d, diag_d = field_outputs(
         cfg, field, data_x, orders=("value",), method=method,
-        sorted_outputs=use_sorted,
+        sorted_outputs=use_tiled, unique_outputs=use_tiled,
     )
-    tgt = data_u[diag_d["perm"]] if use_sorted else data_u
-    data = jnp.mean((outs_d["value"] - tgt) ** 2)
+    u_d = outs_d["value"][:, 0, :] if use_tiled else outs_d["value"]
+    tgt = data_u[diag_d["perm"]] if use_tiled else data_u
+    data = jnp.mean((u_d - tgt) ** 2)
 
     loss = w_pde * pde + w_data * data
     diag = {k: v for k, v in diag.items() if k != "perm"}

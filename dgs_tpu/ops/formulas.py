@@ -97,6 +97,174 @@ def components(order: str, Xs: Sequence, con: Sequence, G, a) -> List:
     raise ValueError(f"unknown order {order!r}")
 
 
+def sym_indices(order: str, D: int) -> List[tuple]:
+    """Canonical (sorted) index tuples of the order's unique components.
+
+    The evaluation tensors are totally symmetric (the Hessian and third
+    tensors of a scalar field commute derivatives; forward.cu:231-234 emits
+    the duplicates explicitly), so kernels compute only i<=j<=k and the
+    public layer mirrors."""
+    if order == "value":
+        return [()]
+    if order == "derivative":
+        return [(i,) for i in range(D)]
+    if order == "laplacian":
+        return [(i, j) for i in range(D) for j in range(i, D)]
+    if order == "third":
+        return [
+            (i, j, k)
+            for i in range(D)
+            for j in range(i, D)
+            for k in range(j, D)
+        ]
+    raise ValueError(f"unknown order {order!r}")
+
+
+def n_unique(order: str, D: int) -> int:
+    return len(sym_indices(order, D))
+
+
+def full_to_unique(order: str, D: int) -> List[int]:
+    """Unique-component index for each full row-major component position."""
+    uniq = {t: n for n, t in enumerate(sym_indices(order, D))}
+    if order == "value":
+        return [0]
+    if order == "derivative":
+        return [uniq[(i,)] for i in range(D)]
+    if order == "laplacian":
+        return [
+            uniq[tuple(sorted((i, j)))] for i in range(D) for j in range(D)
+        ]
+    if order == "third":
+        return [
+            uniq[tuple(sorted((i, j, k)))]
+            for i in range(D)
+            for j in range(D)
+            for k in range(D)
+        ]
+    raise ValueError(f"unknown order {order!r}")
+
+
+def sym_multiplicity(order: str, D: int) -> List[int]:
+    """How many full-tensor positions each unique component mirrors to."""
+    from collections import Counter
+
+    cnt = Counter(full_to_unique(order, D))
+    return [cnt[u] for u in range(n_unique(order, D))]
+
+
+def unique_diag_indices(D: int) -> List[int]:
+    """Unique-component indices of the Hessian diagonal (for traces)."""
+    uniq = {t: n for n, t in enumerate(sym_indices("laplacian", D))}
+    return [uniq[(d, d)] for d in range(D)]
+
+
+def _component_weight(order, idx, C, a, G):
+    """The per-pair weight of one component, by index tuple."""
+    if order == "value":
+        return G
+    if order == "derivative":
+        (i,) = idx
+        return G * a[i]
+    if order == "laplacian":
+        i, j = idx
+        return G * (a[i] * a[j] - C(i, j))
+    i, j, k = idx
+    return G * (
+        C(i, j) * a[k] + C(i, k) * a[j] + C(j, k) * a[i]
+        - a[i] * a[j] * a[k]
+    )
+
+
+def components_unique(order: str, Xs: Sequence, con: Sequence, G, a) -> List:
+    """Per-pair weights of the unique (canonical-index) components only."""
+    D = len(Xs)
+    C = lambda i, j: con[tri_index(D, i, j)]
+    return [_component_weight(order, t, C, a, G) for t in sym_indices(order, D)]
+
+
+def vjp_params_folded(order: str, Xs: Sequence, con: Sequence, G, a,
+                      hs: Sequence):
+    """vjp_params over unique components with FOLDED cotangents.
+
+    ``hs[u]`` must already hold the sum of the full tensor's cotangents over
+    every position that mirrors unique component u (the expansion's transpose
+    does this fold automatically when the mirror happens outside the
+    custom_vjp).  Valid because every per-component VJP term is symmetric in
+    the component's indices."""
+    D = len(Xs)
+    tri = tri_size(D)
+    C = lambda i, j: con[tri_index(D, i, j)]
+    s = _power_dcon(Xs, D)
+    da = _a_dcon(Xs, D)
+
+    dmu = [0.0] * D
+    dcon = [0.0] * tri
+
+    for idx, h in zip(sym_indices(order, D), hs):
+        hG = h * G
+        if order == "value":
+            for d in range(D):
+                dmu[d] = dmu[d] - hG * a[d]
+            for t in range(tri):
+                dcon[t] = dcon[t] + hG * s[t]
+        elif order == "derivative":
+            (i,) = idx
+            for d in range(D):
+                dmu[d] = dmu[d] + hG * (C(i, d) - a[d] * a[i])
+            for t in range(tri):
+                dcon[t] = dcon[t] + hG * (s[t] * a[i] + da[i][t])
+        elif order == "laplacian":
+            i, j = idx
+            p = a[i] * a[j] - C(i, j)
+            for d in range(D):
+                dmu[d] = dmu[d] + hG * (
+                    C(i, d) * a[j] + C(j, d) * a[i] - a[d] * p
+                )
+            tij = tri_index(D, i, j)
+            for t in range(tri):
+                dp = da[i][t] * a[j] + da[j][t] * a[i]
+                if t == tij:
+                    dp = dp - 1.0
+                dcon[t] = dcon[t] + hG * (s[t] * p + dp)
+        else:  # third
+            i, j, k = idx
+            p = (
+                C(i, j) * a[k] + C(i, k) * a[j] + C(j, k) * a[i]
+                - a[i] * a[j] * a[k]
+            )
+            for d in range(D):
+                dp_dmu = (
+                    C(i, j) * C(k, d)
+                    + C(i, k) * C(j, d)
+                    + C(j, k) * C(i, d)
+                    - C(i, d) * a[j] * a[k]
+                    - a[i] * C(j, d) * a[k]
+                    - a[i] * a[j] * C(k, d)
+                )
+                dmu[d] = dmu[d] + hG * (dp_dmu - a[d] * p)
+            tij = tri_index(D, i, j)
+            tik = tri_index(D, i, k)
+            tjk = tri_index(D, j, k)
+            for t in range(tri):
+                dp = (
+                    C(i, j) * da[k][t]
+                    + C(i, k) * da[j][t]
+                    + C(j, k) * da[i][t]
+                    - da[i][t] * a[j] * a[k]
+                    - a[i] * da[j][t] * a[k]
+                    - a[i] * a[j] * da[k][t]
+                )
+                if t == tij:
+                    dp = dp + a[k]
+                if t == tik:
+                    dp = dp + a[j]
+                if t == tjk:
+                    dp = dp + a[i]
+                dcon[t] = dcon[t] + hG * (s[t] * p + dp)
+    return dmu, dcon
+
+
 def _power_dcon(Xs: Sequence, D: int) -> List:
     """d(power)/d(c_t) for each packed index t.
 

@@ -189,7 +189,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
                        fwd_work_items: int, bwd_work_items: int,
                        *, block_n: int = 256, block_e: int = 512,
                        bwd_block_n: int = 128, bwd_block_e: int = 256,
-                       sorted_outputs: bool = False):
+                       sorted_outputs: bool = False,
+                       unique_outputs: bool = False):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
@@ -270,19 +271,34 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     f.defvjp(f_fwd, f_bwd)
     packed = f(means, values, conics)
 
+    # Mirror the kernels' unique (canonical i<=j<=k) components into the full
+    # symmetric tensors.  This happens OUTSIDE the custom_vjp, so its
+    # transpose folds the duplicated positions' cotangents into the unique
+    # slots automatically (valid: every per-component VJP term is symmetric
+    # in the component's indices - formulas.vjp_params_folded).
     outs, k0 = [], 0
     for order in orders:
-        nk = n_components(order, D)
-        outs.append(
-            packed[:, k0 * C:(k0 + nk) * C].reshape(out_shape(order, N, D, C))
-        )
-        k0 += nk
+        nu = formulas.n_unique(order, D)
+        block = packed[:, k0 * C:(k0 + nu) * C].reshape(N, nu, C)
+        if unique_outputs:
+            # Skip the mirror: (N, n_unique, C) canonical components
+            # (formulas.sym_indices order; sym_multiplicity gives the fold
+            # weights).  The expansion gather costs ~N rows - symmetry-aware
+            # consumers (traces, quadratic losses) don't need it.
+            outs.append(block)
+        else:
+            fmap = formulas.full_to_unique(order, D)
+            if len(fmap) != nu:
+                block = block[:, jnp.asarray(fmap, jnp.int32), :]
+            outs.append(block.reshape(out_shape(order, N, D, C)))
+        k0 += nu
     return tuple(outs)
 
 
 def sample_binned(cfg, means, values, conics, covariances, samples,
                   orders: Tuple[str, ...] = ALL_ORDERS,
-                  sorted_outputs: bool = False):
+                  sorted_outputs: bool = False,
+                  unique_outputs: bool = False):
     """Fully jit-compatible binned evaluation: builds the acceleration
     structure in-trace with the static work caps from ``cfg`` and returns
     (outputs dict, diagnostics dict).
@@ -300,7 +316,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
     N = samples.shape[0]
     state = binning.build(cfg, means, covariances, samples)
     bn, be = cfg.block_n, cfg.block_p
-    bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
+    bbn, bbe = cfg.bwd_blocks
     fwd_geom = binning.forward_geometry(state, bn, be)
     bwd_geom = binning.backward_geometry(state, bbe, bbn)
 
@@ -321,7 +337,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         tuple(orders), cfg.period, means, values, conics, samples, state,
         fwd_geom, bwd_geom, cap_f, cap_b,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
-        sorted_outputs=sorted_outputs,
+        sorted_outputs=sorted_outputs, unique_outputs=unique_outputs,
     )
     diag = {
         # With sorted_outputs, output row r corresponds to samples[perm[r]].

@@ -106,7 +106,7 @@ class GaussianSampler:
                         "in SamplerConfig"
                     )
             bn, be = cfg.block_n, cfg.block_p
-            bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
+            bbn, bbe = cfg.bwd_blocks
             self._fwd_geom = binning.forward_geometry(state, bn, be)
             self._bwd_geom = binning.backward_geometry(state, bbe, bbn)
             # Exact work-list totals (eager host read), bucketed to bound

@@ -70,7 +70,7 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
     cfg = cfg.with_dims(D)
     lower = list(cfg.lower) + [0.0] * (3 - D)
     bn, be = cfg.block_n, cfg.block_p
-    bbn, bbe = max(bn // 2, 8), max(be // 2, 128)
+    bbn, bbe = cfg.bwd_blocks
 
     lib = _load()
     if lib is not None:
@@ -162,7 +162,7 @@ def config_from_plan(cfg, plan: dict, P: int) -> "SamplerConfig":
     )
     # Mirror binning/grid.py's static entry capacity.
     e_cap = min(max(int(-(-factor * P // 128)) * 128, 4096), P * R ** cfg.D)
-    bbe = max(cfg.block_p // 2, 128)
+    bbe = cfg.bwd_blocks[1]
     sentinel_blocks = -(-e_cap // bbe) - -(-int(plan["entries"]) // bbe)
     # Safety margin: the planner bins in f64 while the device bins in f32, so
     # borderline 3-sigma tiles can differ by a few entries.  Sentinel work

@@ -92,7 +92,37 @@ def test_tiled_forward_matches_masked_oracle(rng, D):
         )
 
 
-@pytest.mark.parametrize("D", [1, 2])
+def test_work_list_flattening():
+    """work_list covers exactly the (row, col) sweep pairs, zero-inits every
+    row block once, and counts capacity overflow."""
+    from dgs_tpu.kernels import tiled as ktiled
+
+    base = jnp.asarray([2, 0, 5, 1], jnp.int32)
+    nblk = jnp.asarray([3, 0, 2, 1], jnp.int32)
+    row, col, first, compute, initialized, overflow = ktiled.work_list(
+        base, nblk, colmax=8, cap=10
+    )
+    # expected items: rows with nblk=0 still emit one (non-compute) item
+    want = [(0, 2, 1, 1), (0, 3, 0, 1), (0, 4, 0, 1),
+            (1, 0, 1, 0),                      # empty row block: init only
+            (2, 5, 1, 1), (2, 6, 0, 1),
+            (3, 1, 1, 1)]
+    for k, (r, c, f, v) in enumerate(want):
+        assert (int(row[k]), int(first[k]), int(compute[k])) == (r, f, v), k
+        if v:
+            assert int(col[k]) == c, k
+    # sentinels: no init, no compute, row stays at the last block
+    for k in range(len(want), 10):
+        assert int(first[k]) == 0 and int(compute[k]) == 0
+        assert int(row[k]) == 3
+    assert int(overflow) == 0 and bool(initialized.all())
+    # truncated capacity: overflow counted, uninitialized blocks flagged
+    *_, initialized2, overflow2 = ktiled.work_list(base, nblk, 8, 4)
+    assert int(overflow2) == 3
+    assert list(map(bool, initialized2)) == [True, True, False, False]
+
+
+@pytest.mark.parametrize("D", [1, 2, 3])
 def test_tiled_backward_matches_masked_oracle_autodiff(rng, D):
     cfg = SamplerConfig(max_tiles_per_gaussian=8).with_dims(D)
     m, v, cov, c, s = _setup(rng, 31, 37, D)

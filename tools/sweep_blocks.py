@@ -1,0 +1,110 @@
+"""On-chip sweep of the tiled kernels' pair-block sizes.
+
+Runs the bench workload once per block configuration in a single process
+(kernel compiles dominate; the slow first device->host transfer is paid once
+at the end).  Usage:  python tools/sweep_blocks.py
+Env: SWEEP_P, SWEEP_N, SWEEP_TILE, SWEEP_STEPS.
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dgs_tpu.config import SamplerConfig
+from dgs_tpu.models.field import init_field
+from dgs_tpu.models.pigs import field_outputs
+from dgs_tpu.ops import formulas
+from dgs_tpu.utils import native
+
+COMBOS = [
+    # (block_n, block_p, block_n_bwd, block_p_bwd)
+    (256, 512, 128, 256),  # current default
+    (256, 256, 128, 256),
+    (256, 256, 128, 128),
+    (256, 512, 128, 128),
+    (256, 256, 256, 128),
+    (512, 256, 128, 128),
+    (256, 512, 256, 256),
+    (128, 256, 128, 128),
+]
+
+ORDERS = ("value", "derivative", "laplacian")
+
+
+def main():
+    P = int(os.environ.get("SWEEP_P", 100_000))
+    N = int(os.environ.get("SWEEP_N", 1_000_000))
+    steps = int(os.environ.get("SWEEP_STEPS", 4))
+    tile = float(os.environ.get("SWEEP_TILE", 0.0637))
+    D, C = 2, 4
+    sigma = 2.0 / max(P, 1) ** 0.5
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        field = init_field(jax.random.PRNGKey(0), P, D, C, sigma=sigma)
+        samples = jax.random.uniform(
+            jax.random.PRNGKey(1), (N, D), minval=-1.0, maxval=1.0
+        )
+    dev = jax.devices()[0]
+    field_d = jax.device_put(field, dev)
+    samples_d = jax.device_put(samples, dev)
+
+    mults = {
+        o: jnp.asarray(formulas.sym_multiplicity(o, D), jnp.float32)
+        for o in ORDERS
+    }
+
+    results = []
+    for combo in COMBOS:
+        bn, be, bbn, bbe = combo
+        cfg0 = SamplerConfig(
+            tile_size=tile, max_tiles_per_gaussian=3, eig_floor=1e-12,
+            block_n=bn, block_p=be, block_n_bwd=bbn, block_p_bwd=bbe,
+        )
+        plan = native.plan_capacities(cfg0, field.means, field.covariances(),
+                                      samples)
+        cfg = native.config_from_plan(cfg0, plan, P)
+
+        def loss_fn(f, s):
+            outs, diag = field_outputs(cfg, f, s, orders=ORDERS,
+                                       method="tiled", sorted_outputs=True,
+                                       unique_outputs=True)
+            loss = sum(jnp.einsum("nuc,u->", o * o, mults[k])
+                       for k, o in outs.items())
+            return loss, None
+
+        @jax.jit
+        def step(f, s):
+            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(f, s)
+            return l, g
+
+        t0 = time.perf_counter()
+        l, g = step(field_d, samples_d)
+        jax.block_until_ready(g)
+        compile_s = time.perf_counter() - t0
+
+        times = []
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            l, g = step(field_d, samples_d)
+            jax.block_until_ready(g)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        results.append((combo, dt, compile_s))
+        print(f"combo {combo}: {dt*1e3:.1f} ms/step "
+              f"(compile {compile_s:.0f}s)", flush=True)
+
+    results.sort(key=lambda r: r[1])
+    print("\nbest-to-worst:")
+    for combo, dt, _ in results:
+        print(f"  {combo}: {dt*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
