@@ -126,30 +126,30 @@ def gaussian_rects(cfg: SamplerConfig, means: jnp.ndarray, radii: jnp.ndarray):
     return lo, hi
 
 
-def build(
-    cfg: SamplerConfig,
-    means: jnp.ndarray,       # (P, D)
-    covariances: jnp.ndarray, # (P, tri)
-    samples: jnp.ndarray,     # (N, D)
-) -> BinningState:
-    """Build the acceleration structure (reference preprocess, ext.cpp:20)."""
+def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
+                      radii: jnp.ndarray, R: int, E_cap: int):
+    """Tile-sorted (gaussian, tile) duplicate entries for arbitrary radii.
+
+    The TPU replacement for duplicateWithKeys + radix sort + ranges
+    (sampler_impl.cu:54-129, 279-292): enumerate the R^D candidate tiles per
+    Gaussian, torus-wrap tile indices, pair-sort by tile with the id as
+    payload, truncate to the static capacity.
+
+    Returns (ent_gid (E,), ent_tile (E,), ent_start (T+2,), rect_overflow,
+    entry_overflow).  Shared by the sampling binning (3-sigma radii) and the
+    aggregation neighbor search (shrunk + inflated collision radii).
+    """
     P, D = means.shape
-    N = samples.shape[0]
-    cfg = cfg.with_dims(D)
     grid, strides, T = _grid_info(cfg, D)
-    R = cfg.max_tiles_per_gaussian
     dup = R**D
 
-    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
-    lo, hi = gaussian_rects(cfg, means, rad)
+    lo, hi = gaussian_rects(cfg, means, radii)
     extent = hi - lo  # (P, D)
     overflow = jnp.sum(
         jnp.maximum(jnp.prod(jnp.minimum(extent, R), axis=1), 0)
         != jnp.maximum(jnp.prod(extent, axis=1), 0)
     ).astype(jnp.int32)
 
-    # Enumerate the R^D candidate tiles of every Gaussian (duplicateWithKeys,
-    # sampler_impl.cu:54-129) with torus wrap of the tile index.
     offs = jnp.stack(
         jnp.meshgrid(*[jnp.arange(R, dtype=jnp.int32)] * D, indexing="ij"),
         axis=-1,
@@ -180,10 +180,6 @@ def build(
     # Compact: sentinels sorted last, so truncating to the static entry
     # capacity drops only unused slots (or, if the footprints are unusually
     # dense, real entries - counted below, never silent).
-    E_cap = min(
-        max(int(-(-cfg.entry_capacity_factor * P // 128)) * 128, 4096),
-        P * dup,
-    )
     entry_overflow = jnp.zeros((), jnp.int32)
     if E_cap < P * dup:
         n_valid = jnp.sum(ent_tile < T)
@@ -194,6 +190,34 @@ def build(
     ent_start = jnp.searchsorted(
         ent_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+    return ent_gid, ent_tile, ent_start, overflow, entry_overflow
+
+
+def entry_capacity(cfg: SamplerConfig, P: int, R: int) -> int:
+    """Static compacted entry capacity (see duplicate_entries)."""
+    return min(
+        max(int(-(-cfg.entry_capacity_factor * P // 128)) * 128, 4096),
+        P * R ** cfg.D,
+    )
+
+
+def build(
+    cfg: SamplerConfig,
+    means: jnp.ndarray,       # (P, D)
+    covariances: jnp.ndarray, # (P, tri)
+    samples: jnp.ndarray,     # (N, D)
+) -> BinningState:
+    """Build the acceleration structure (reference preprocess, ext.cpp:20)."""
+    P, D = means.shape
+    N = samples.shape[0]
+    cfg = cfg.with_dims(D)
+    grid, strides, T = _grid_info(cfg, D)
+    R = cfg.max_tiles_per_gaussian
+
+    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    ent_gid, ent_tile, ent_start, overflow, entry_overflow = duplicate_entries(
+        cfg, means, rad, R, entry_capacity(cfg, P, R)
+    )
 
     s_tile_raw = sample_tiles(cfg, samples)
     sorted_ops = jax.lax.sort(

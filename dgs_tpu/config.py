@@ -75,12 +75,14 @@ class SamplerConfig:
     tile_sample_capacity: int = 1024
     dtype: str = "float32"
 
-    # Pallas block sizes (tunable).  The backward pair blocks default to half
-    # the forward sizes (min 8 sublanes / 128 lanes); set explicitly to tune.
+    # Pallas block sizes (tunable; defaults from the on-chip sweep at the
+    # 100k-Gaussian / 1M-sample operating point, tools/sweep_blocks.py).
+    # Unset backward blocks fall back to half the forward sizes (min 8
+    # sublanes / 128 lanes).
     block_n: int = 256
-    block_p: int = 512
-    block_n_bwd: Optional[int] = None
-    block_p_bwd: Optional[int] = None
+    block_p: int = 256
+    block_n_bwd: Optional[int] = 256
+    block_p_bwd: Optional[int] = 128
     # Static work-list capacity for the tiled kernels when binning is built
     # inside a jitted step (the eager facade auto-sizes instead).  The kernels
     # run one grid step per real (sample-block, entry-block) pair; exactness

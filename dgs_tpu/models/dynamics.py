@@ -1,0 +1,168 @@
+"""Gaussian-cloud dynamics via neighbor aggregation (the PIGS dynamics net).
+
+The reference's aggregation subsystem (aggregate_neighbors.cu, SURVEY.md C12-
+C15) exists to serve as "the neural network over the Gaussian cloud that
+predicts dynamics" in downstream PIGS.  This module reproduces that usage
+TPU-natively: a field u(x, t) is carried by a fixed Gaussian cloud whose
+per-Gaussian feature values evolve through the attention-style neighbor
+aggregation layer, trained so rollouts match an analytic advection-diffusion
+solution on the periodic torus:
+
+    u_t + c . grad(u) = kappa * laplace(u)
+    u*(x, t) = exp(-D kappa pi^2 t) * prod_d sin(pi (x_d - c_d t))
+
+Per rollout step:  values <- values + aggregate(values, ...)  (residual
+update through the same 6 learnable parameter groups as the reference:
+transform, queries, keys, frequencies, distance_transform - gradients via
+JAX autodiff match the reference's hand-written backward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SamplerConfig
+from ..ops import aggregation, sampling
+from ..oracle.dense import radii as compute_radii
+from .field import GaussianField, init_field
+
+
+class DynamicsParams(NamedTuple):
+    """The six learnable parameter groups of the aggregation layer
+    (reference __init__.py:303-317)."""
+
+    transform: jnp.ndarray           # (L, L)
+    queries: jnp.ndarray             # (P, K)
+    keys: jnp.ndarray                # (P, K)
+    frequencies: jnp.ndarray         # (nfreq,)
+    distance_transform: jnp.ndarray  # (2E,)
+
+
+def init_dynamics_params(key, P: int, L: int, D: int, *, n_heads: int = 4,
+                         n_freq: int = 2) -> DynamicsParams:
+    E = 2 * D * n_freq + 1
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    scale = 0.1
+    return DynamicsParams(
+        transform=jax.random.normal(k1, (L, L)) * scale / L**0.5,
+        queries=jax.random.normal(k2, (P, n_heads)) * scale,
+        keys=jax.random.normal(k3, (P, n_heads)) * scale,
+        frequencies=jnp.arange(1, n_freq + 1, dtype=jnp.float32),
+        distance_transform=jax.random.normal(k5, (2 * E,)) * scale,
+    )
+
+
+def advection_diffusion_solution(D: int, kappa: float = 0.05,
+                                 velocity: float = 0.3):
+    """u*(x, t) on the period-2 torus."""
+    c = jnp.full((D,), velocity, jnp.float32)
+
+    def u_star(x, t):  # (N, D), scalar t -> (N, 1)
+        decay = jnp.exp(-D * kappa * jnp.pi**2 * t)
+        return (decay * jnp.prod(jnp.sin(jnp.pi * (x - c * t)), axis=-1))[
+            :, None
+        ]
+
+    return u_star
+
+
+def rollout_step(params: DynamicsParams, values, nbr: aggregation.Neighbors):
+    """values <- values + aggregate(values)  (residual dynamics update)."""
+    return values + aggregation.aggregate(
+        values, params.transform, params.queries, params.keys,
+        params.frequencies, params.distance_transform, nbr,
+    )
+
+
+def fit_values(cfg: SamplerConfig, field: GaussianField, target: Callable,
+               *, steps: int = 200, lr: float = 5e-2, n_fit: int = 4096,
+               key=None) -> GaussianField:
+    """Least-squares fit of the per-Gaussian values to a target field at
+    t=0 (means/covariances stay fixed)."""
+    key = key if key is not None else jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (n_fit, field.D), minval=-1.0, maxval=1.0)
+    y = target(x)
+    conics = field.conics()
+    opt = optax.adam(lr)
+
+    def loss_fn(values):
+        u = sampling.sample_dense(
+            "value", field.means, values, conics, x, period=cfg.period
+        )
+        return jnp.mean((u - y) ** 2)
+
+    @jax.jit
+    def step(values, opt_state):
+        l, g = jax.value_and_grad(loss_fn)(values)
+        updates, opt_state = opt.update(g, opt_state, values)
+        return optax.apply_updates(values, updates), opt_state, l
+
+    values, opt_state = field.values, opt.init(field.values)
+    for _ in range(steps):
+        values, opt_state, l = step(values, opt_state)
+    return field._replace(values=values)
+
+
+def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
+          rollout: int = 3, dt: float = 0.05, sigma: float = 0.12,
+          learning_rate: float = 3e-3, n_eval: int = 2048, seed: int = 0,
+          neighbor_capacity: int = 64, kappa: float = 0.05,
+          log_every: int = 50, logger=None):
+    """Train the dynamics net to roll the field forward in time.
+
+    Returns (params, history).  loss = mean over rollout steps r of
+    mean((u_model(x, r*dt) - u*(x, r*dt))^2) at fresh sample points.
+    """
+    u_star = advection_diffusion_solution(D, kappa=kappa)
+    key = jax.random.PRNGKey(seed)
+    key, k_field, k_params = jax.random.split(key, 3)
+
+    field = init_field(k_field, P, D, 1, sigma=sigma)
+    field = fit_values(cfg, field, lambda x: u_star(x, 0.0))
+    rad = compute_radii(field.covariances(), D, cfg.radius_sigma,
+                        cfg.eig_floor)
+    conics = field.conics()
+    nbr = aggregation.preprocess_grid(
+        cfg.with_dims(D), field.means, conics, rad, neighbor_capacity
+    )
+    params = init_dynamics_params(k_params, P, 1, D)
+    opt = optax.adam(learning_rate)
+
+    def loss_fn(params, key):
+        def body(values, r):
+            values = rollout_step(params, values, nbr)
+            x = jax.random.uniform(
+                jax.random.fold_in(key, r), (n_eval, D),
+                minval=-1.0, maxval=1.0,
+            )
+            u = sampling.sample_dense(
+                "value", field.means, values, conics, x, period=cfg.period
+            )
+            err = jnp.mean((u - u_star(x, (r + 1.0) * dt)) ** 2)
+            return values, err
+        _, errs = jax.lax.scan(body, field.values, jnp.arange(rollout))
+        return jnp.mean(errs)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        l, g = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    opt_state = opt.init(params)
+    history = []
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step(params, opt_state, sub)
+        if i % log_every == 0 or i == steps - 1:
+            rec = {"step": i, "loss": float(l),
+                   "nbr_overflow": int(nbr.overflow)}
+            history.append(rec)
+            if logger is not None:
+                logger.log(rec)
+    return params, history

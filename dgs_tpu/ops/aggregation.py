@@ -77,6 +77,103 @@ def suggest_capacity(cfg: SamplerConfig, means, radii) -> int:
     return int(jax.device_get(_collision_counts(cfg, means, radii).max()))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def preprocess_grid(
+    cfg: SamplerConfig,
+    means: jnp.ndarray,   # (P, D)
+    conics: jnp.ndarray,  # (P, tri)
+    radii: jnp.ndarray,   # (P,)
+    neighbor_capacity: Optional[int] = None,
+    rect_capacity: Optional[int] = None,
+) -> Neighbors:
+    """Grid-accelerated neighbor table: O(P * candidates) instead of the
+    reference's brute-force O(P^2) findCollisions (aggregate_neighbors.cu:17
+    ``// TODO: Optimize using a tree structure`` - this is the TPU-native
+    answer: world-grid cell lists, the same acceleration structure the
+    sampler uses).
+
+    Exactness: gaussian j is duplicated into every tile within its inflated
+    collision radius rho_j = 0.2 r_j + 0.2 max(r); any i with
+    |mu_i - mu_j| <= 0.2 (r_i + r_j) <= rho_j therefore finds j in the
+    candidate list of i's center tile, and the true distance test filters the
+    superset.  Candidate lists are per-TILE (all centers of a tile share one
+    contiguous entry range), gathered as wide packed rows so the gather count
+    stays O(T + P), not O(P * NC).
+
+    ``neighbor_capacity`` caps candidates per tile (overflow counted, never
+    silent).  Neighbor slots come back in ascending gaussian id, matching the
+    reference's ascending-j CSR order (aggregate_neighbors.cu:85).
+    """
+    from ..binning import grid as binning
+
+    P, D = means.shape
+    tri = tri_size(D)
+    cfg = cfg.with_dims(D)
+    NC = neighbor_capacity or min(P, 256)
+    # The inflated collision radii can exceed the 3-sigma footprints the
+    # config's R was sized for; rect_capacity overrides (overflow counted).
+    R = rect_capacity or cfg.max_tiles_per_gaussian
+
+    r = radii * 0.2
+    alive = r >= 1e-6
+    r_eff = jnp.where(alive, r, 0.0)
+    rho = jnp.where(alive, r_eff + jnp.max(r_eff), 0.0)
+
+    E_cap = binning.entry_capacity(cfg, P, R)
+    ent_gid, ent_tile, ent_start, rect_of, ent_of = binning.duplicate_entries(
+        cfg, means, rho, R, E_cap
+    )
+    T = binning.num_tiles(cfg, D)
+
+    # Packed per-entry parameters (one row gather, wide rows).
+    params = jnp.concatenate(
+        [means, conics, r_eff[:, None]], axis=1
+    )  # (P, D+tri+1)
+    params = jnp.concatenate(
+        [params, jnp.zeros((1, params.shape[1]), params.dtype)], 0
+    )
+    ent_params = params[ent_gid]  # (E, W); sentinel gid==P hits the zero row
+
+    # Per-tile candidate table (T, NC): contiguous slices of the sorted
+    # entry list, so every center of a tile shares one table row.
+    counts = ent_start[1:T + 1] - ent_start[:T]
+    cand_overflow = jnp.sum(jnp.maximum(counts - NC, 0)).astype(jnp.int32)
+    idx = ent_start[:T, None] + jnp.arange(NC, dtype=jnp.int32)[None, :]
+    tvalid = idx < ent_start[1:T + 1, None]
+    idx_c = jnp.minimum(idx, ent_gid.shape[0] - 1)
+    tbl = jnp.where(tvalid[..., None], ent_params[idx_c], 0.0)  # (T, NC, W)
+    tbl_gid = jnp.where(tvalid, ent_gid[idx_c], P)              # (T, NC)
+
+    # Per-center candidates: one wide-row gather by center tile.
+    tile_i = binning.sample_tiles(cfg, means)  # (P,)
+    ctr = tbl[tile_i]                          # (P, NC, W)
+    cand = tbl_gid[tile_i]                     # (P, NC)
+    validc = cand < P
+
+    mu_j = ctr[..., :D]
+    con_j = ctr[..., D:D + tri]
+    r_j = ctr[..., D + tri]
+    X = formulas.wrap(mu_j - means[:, None, :], cfg.period)  # (P, NC, D)
+    dist2 = jnp.sum(X * X, axis=-1)
+    rr = r_eff[:, None] + r_j
+    hit = validc & alive[:, None] & (r_j >= 1e-6) & (dist2 <= rr * rr)
+
+    Xs = [X[..., d] for d in range(D)]
+    cons = [con_j[..., t] for t in range(tri)]
+    G, _ = formulas.power_terms(Xs, cons)
+    dens = jnp.where(hit, G, 0.0)
+    pos_power = hit & (G == 0.0)  # power > 0 culled inside power_terms
+    out_idx = jnp.where(hit & ~pos_power, cand, -1).astype(jnp.int32)
+    total = jnp.sum(dens, axis=1)
+    inv_norm = 1.0 / (radii * 0.333 + 1e-6)
+
+    overflow = (rect_of + ent_of + cand_overflow).astype(jnp.int32)
+    return Neighbors(
+        out_idx, X * inv_norm[:, None, None], dens,
+        1.0 / (total + 1e-6), overflow,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def preprocess(
     cfg: SamplerConfig,
@@ -86,7 +183,10 @@ def preprocess(
     neighbor_capacity: Optional[int] = None,
 ) -> Neighbors:
     """Build the neighbor table (reference preprocess_aggregate,
-    aggregate_neighbors.cu:323-367)."""
+    aggregate_neighbors.cu:323-367).  Brute-force per-row scan (the
+    reference's findCollisions semantics, vectorized); prefer
+    ``preprocess_grid`` at scale - identical table up to slot ordering
+    capacity."""
     P, D = means.shape
     NC = neighbor_capacity or min(P, 64)
     r = radii * 0.2

@@ -168,14 +168,31 @@ class GaussianSampler:
 
     # -- neighbor aggregation ---------------------------------------------
 
-    def preprocess_aggregate(self, neighbor_capacity: Optional[int] = None):
+    def preprocess_aggregate(self, neighbor_capacity: Optional[int] = None,
+                             method: str = "grid",
+                             rect_capacity: Optional[int] = None):
         """Build neighbor lists (reference preprocess_aggregate,
-        __init__.py:291-301)."""
-        agg = snapshot_call(
-            self.debug, "preprocess_agg", aggregation.preprocess,
-            self.config, self.means, self.conics, self.radii,
-            neighbor_capacity,
-        )
+        __init__.py:291-301).  method="grid" uses the world-grid cell-list
+        search (O(P*candidates)); "dense" the reference-shaped O(P^2) scan."""
+        if method == "grid":
+            agg = snapshot_call(
+                self.debug, "preprocess_agg", aggregation.preprocess_grid,
+                self.config, self.means, self.conics, self.radii,
+                neighbor_capacity, rect_capacity,
+            )
+        else:
+            agg = snapshot_call(
+                self.debug, "preprocess_agg", aggregation.preprocess,
+                self.config, self.means, self.conics, self.radii,
+                neighbor_capacity,
+            )
+        if self.debug:
+            of = int(jax.device_get(agg.overflow))
+            if of:
+                raise ValueError(
+                    f"neighbor table overflow: {of} candidates dropped; "
+                    "raise neighbor_capacity / rect_capacity"
+                )
         self.neighbors = agg
         return agg
 

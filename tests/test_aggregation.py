@@ -154,6 +154,48 @@ def test_aggregate_matches_reference(rng, D):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("D", [1, 2, 3])
+def test_preprocess_grid_matches_dense(rng, D):
+    """Cell-list neighbor search == brute-force scan: same neighbor sets,
+    same densities/dists/normalizers, same aggregate output."""
+    means, conics, radii, features, transform, queries, keys, freqs, dt = _setup(
+        rng, 37, D
+    )
+    cfg = SamplerConfig(max_tiles_per_gaussian=8).with_dims(D)
+    m, c, r = map(jnp.asarray, (means, conics, radii))
+    dense_nbr = aggregation.preprocess(cfg, m, c, r, 48)
+    grid_nbr = aggregation.preprocess_grid(cfg, m, c, r, 64, 8)
+    assert int(dense_nbr.overflow) == 0
+    assert int(grid_nbr.overflow) == 0
+
+    for i in range(means.shape[0]):
+        dsl = {int(j): s for s, j in enumerate(np.asarray(dense_nbr.indices[i]))
+               if j >= 0}
+        gsl = {int(j): s for s, j in enumerate(np.asarray(grid_nbr.indices[i]))
+               if j >= 0}
+        assert set(dsl) == set(gsl), i
+        # ascending-j order preserved in both
+        assert sorted(dsl) == list(dsl) and sorted(gsl) == list(gsl), i
+        for j in dsl:
+            np.testing.assert_allclose(
+                grid_nbr.dists[i, gsl[j]], dense_nbr.dists[i, dsl[j]],
+                rtol=1e-5, atol=1e-7, err_msg=f"dists {i},{j}")
+            np.testing.assert_allclose(
+                grid_nbr.densities[i, gsl[j]], dense_nbr.densities[i, dsl[j]],
+                rtol=1e-5, atol=1e-7, err_msg=f"dens {i},{j}")
+    np.testing.assert_allclose(
+        grid_nbr.inv_total_densities, dense_nbr.inv_total_densities, rtol=1e-5
+    )
+
+    args = tuple(map(jnp.asarray,
+                     (features, transform, queries, keys, freqs, dt)))
+    np.testing.assert_allclose(
+        aggregation.aggregate(*args, grid_nbr),
+        aggregation.aggregate(*args, dense_nbr),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_aggregate_gradients_finite_diff(rng):
     D = 2
     means, conics, radii, features, transform, queries, keys, freqs, dt = _setup(
