@@ -132,10 +132,14 @@ def work_list(base, nblk, colmax: int, cap: int):
     total = offs[-1]
     starts = (offs - nblk_eff).astype(jnp.int32)
     w = jnp.arange(cap, dtype=jnp.int32)
-    row = jnp.clip(
-        jnp.searchsorted(starts, w, side="right").astype(jnp.int32) - 1,
-        0, B - 1,
+    # row[w] = which row block work item w belongs to.  starts is strictly
+    # increasing (nblk_eff >= 1), so scatter block boundaries and prefix-sum
+    # - much cheaper than searchsorted (XLA lowers that to a while loop).
+    row = jnp.cumsum(
+        jnp.zeros((cap,), jnp.int32)
+        .at[starts[1:]].add(1, mode="drop")
     )
+    row = jnp.clip(row, 0, B - 1)
     off = w - starts[row]
     live = w < total
     first = ((off == 0) & live).astype(jnp.int32)

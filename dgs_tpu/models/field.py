@@ -63,11 +63,18 @@ class GaussianField(NamedTuple):
         raise ValueError(f"unsupported D={self.D}")
 
     def _packed_quadratic(self, eigs: jnp.ndarray) -> jnp.ndarray:
-        """Packed upper-triangular R diag(eigs) R^T."""
+        """Packed upper-triangular R diag(eigs) R^T.
+
+        Unrolled elementwise over D<=3 - a batched einsum here lowers to
+        bf16 tiny-matmul custom calls (slower and lossier than fp32 VPU
+        arithmetic on (P,) lanes)."""
         R = self.rotation_matrices()
-        M = jnp.einsum("pij,pj,pkj->pik", R, eigs, R)
         D = self.D
-        cols = [M[:, i, j] for i in range(D) for j in range(i, D)]
+        cols = [
+            sum(R[:, i, k] * eigs[:, k] * R[:, j, k] for k in range(D))
+            for i in range(D)
+            for j in range(i, D)
+        ]
         return jnp.stack(cols, axis=-1)
 
     def covariances(self) -> jnp.ndarray:  # (P, tri)
