@@ -183,6 +183,29 @@ def components_unique(order: str, Xs: Sequence, con: Sequence, G, a) -> List:
     return [_component_weight(order, t, C, a, G) for t in sym_indices(order, D)]
 
 
+def component_polys(order: str, Xs: Sequence, con: Sequence, a) -> List:
+    """The unique components' pre-exponential polynomials (T_u / G).
+
+    components_unique == [G * p for p in component_polys]; kernels that need
+    both the weights and the polynomials (the backward reuses the laplacian
+    polynomials inside vjp_params_fused's S0) compute the polys once."""
+    D = len(Xs)
+    C = lambda i, j: con[tri_index(D, i, j)]
+    if order == "value":
+        return [1.0]
+    if order == "derivative":
+        return [a[i] for i in range(D)]
+    if order == "laplacian":
+        return [a[i] * a[j] - C(i, j) for i, j in sym_indices(order, D)]
+    if order == "third":
+        return [
+            C(i, j) * a[k] + C(i, k) * a[j] + C(j, k) * a[i]
+            - a[i] * a[j] * a[k]
+            for i, j, k in sym_indices(order, D)
+        ]
+    raise ValueError(f"unknown order {order!r}")
+
+
 def vjp_params_folded(order: str, Xs: Sequence, con: Sequence, G, a,
                       hs: Sequence):
     """vjp_params over unique components with FOLDED cotangents.
@@ -297,6 +320,118 @@ def _a_dcon(Xs: Sequence, D: int):
                 table[u][t] = Xs[v]
                 table[v][t] = Xs[u]
     return table
+
+
+FUSABLE_ORDERS = ("value", "derivative", "laplacian")
+
+
+def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
+                     G, a, hs: Sequence, lap_polys: Optional[Sequence] = None):
+    """Collapsed multi-order VJP for orders within {value, derivative,
+    laplacian} (use vjp_params_folded per order otherwise, e.g. for third).
+
+    ``hs`` is the flat list of FOLDED unique-component cotangents across
+    ``orders`` in sequence (same layout the tiled backward kernel holds).
+
+    Derivation: every component is a spatial derivative of G
+    (T_i = dG/dx_i = G a_i, T_ij = G (a_i a_j - C_ij)), and
+    dT_u/dmu_d = -T_{u,d}, so the weighted cotangent sum telescopes:
+
+        S0    = h0 + sum_i hd_i a_i + sum_{i<=j} hl_ij (a_i a_j - C_ij)
+        r     = H a  with H_ll = 2 hl_ll, H_lm = hl_lm   (symmetric matvec)
+        w     = hd + r,   z = w - 1/2 X S0
+        dmu_d = G ((C w)_d - a_d S0)
+        dcon  = G (X_v z_u + X_u z_v - hl_uv)   (hl term only where defined)
+
+    This reproduces backward.cu:108-298 exactly (see vjp_params) with ~3x
+    fewer per-pair elementwise ops when the orders are fused - the per-pair
+    loop is the whole backward hot loop (SURVEY.md 3.3).
+    """
+    D = len(Xs)
+    tri = tri_size(D)
+    C = lambda i, j: con[tri_index(D, i, j)]
+
+    h0 = None
+    hd = [None] * D
+    hl = [None] * tri
+    k0 = 0
+    for order in orders:
+        nu = n_unique(order, D)
+        block = hs[k0:k0 + nu]
+        if order == "value":
+            h0 = block[0]
+        elif order == "derivative":
+            for i in range(D):
+                hd[i] = block[i]
+        elif order == "laplacian":
+            for t, (i, j) in enumerate(sym_indices(order, D)):
+                hl[tri_index(D, i, j)] = block[t]
+        else:
+            raise ValueError(
+                f"order {order!r} is not fusable (use vjp_params_folded)"
+            )
+        k0 += nu
+
+    def acc(x, y):
+        return y if x is None else x + y
+
+    # S0 = sum_u h_u * (T_u / G); lap_polys (component_polys("laplacian"))
+    # may be supplied to share the a_i a_j - C_ij terms with the caller's
+    # forward-weight recompute.
+    S0 = h0
+    for i in range(D):
+        if hd[i] is not None:
+            S0 = acc(S0, hd[i] * a[i])
+    if any(h is not None for h in hl):
+        polys = {}
+        if lap_polys is not None:
+            polys = dict(zip(sym_indices("laplacian", D), lap_polys))
+        for u in range(D):
+            for v in range(u, D):
+                t = tri_index(D, u, v)
+                p_uv = polys.get((u, v), None)
+                if p_uv is None:
+                    p_uv = a[u] * a[v] - C(u, v)
+                S0 = acc(S0, hl[t] * p_uv)
+
+    # w = hd + H a  (H: folded laplacian cotangents, doubled diagonal)
+    w = [None] * D
+    for l in range(D):
+        wl = hd[l]
+        for m in range(D):
+            t = tri_index(D, l, m)
+            if hl[t] is not None:
+                scale = 2.0 if l == m else 1.0
+                wl = acc(wl, (scale * hl[t]) * a[m])
+        w[l] = wl
+
+    half_S0 = 0.5 * S0
+
+    dmu = []
+    for d in range(D):
+        md = None
+        for l in range(D):
+            if w[l] is not None:
+                md = acc(md, C(d, l) * w[l])
+        md = acc(md, -(a[d] * S0))
+        dmu.append(G * md)
+
+    z = [
+        (-(Xs[l] * half_S0)) if w[l] is None else (w[l] - Xs[l] * half_S0)
+        for l in range(D)
+    ]
+    dcon = [None] * tri
+    for u in range(D):
+        for v in range(u, D):
+            t = tri_index(D, u, v)
+            if u == v:
+                term = Xs[u] * z[u]
+            else:
+                term = Xs[v] * z[u] + Xs[u] * z[v]
+            if hl[t] is not None:
+                term = term - hl[t]
+            dcon[t] = G * term
+    return dmu, dcon
 
 
 def vjp_params(order: str, Xs: Sequence, con: Sequence, G, a, hs: Sequence):
