@@ -36,11 +36,11 @@ def main():
     N = int(os.environ.get("BENCH_N", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     method = os.environ.get("BENCH_METHOD", "tiled")
-    # Default tile tuned on-chip: 0.0637 (= 0.51/8) keeps per-tile pair counts
-    # small at the 100k-Gaussian / sigma~0.0063 operating point; 0.51 (the
-    # reference's world BLOCK_SIZE) is ~1.7x slower here and overflows the
-    # backward work cap.
-    tile = float(os.environ.get("BENCH_TILE", 0.0637))
+    # Default tile tuned on-chip: 0.051 (= 0.51/10) minimizes pair work at
+    # the 100k-Gaussian / sigma~0.0063 operating point (0.0637 and 0.0425 are
+    # within ~2%; 0.51, the reference's world BLOCK_SIZE, is ~1.7x slower and
+    # overflows the backward work cap).
+    tile = float(os.environ.get("BENCH_TILE", 0.051))
     D, C = 2, 4
 
     # sigma ~ 2/sqrt(P): footprints a few tiles wide at 100k Gaussians.

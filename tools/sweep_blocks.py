@@ -24,14 +24,14 @@ from dgs_tpu.utils import native
 
 COMBOS = [
     # (block_n, block_p, block_n_bwd, block_p_bwd)
-    (256, 512, 128, 256),  # current default
-    (256, 256, 128, 256),
+    (256, 256, 256, 128),  # current default
+    (512, 512, 256, 128),
+    (512, 256, 256, 128),
+    (256, 512, 256, 128),
+    (256, 256, 256, 256),
     (256, 256, 128, 128),
-    (256, 512, 128, 128),
-    (256, 256, 256, 128),
-    (512, 256, 128, 128),
-    (256, 512, 256, 256),
-    (128, 256, 128, 128),
+    (512, 512, 512, 128),
+    (512, 512, 256, 256),
 ]
 
 ORDERS = ("value", "derivative", "laplacian")
@@ -40,8 +40,8 @@ ORDERS = ("value", "derivative", "laplacian")
 def main():
     P = int(os.environ.get("SWEEP_P", 100_000))
     N = int(os.environ.get("SWEEP_N", 1_000_000))
-    steps = int(os.environ.get("SWEEP_STEPS", 4))
-    tile = float(os.environ.get("SWEEP_TILE", 0.0637))
+    steps = int(os.environ.get("SWEEP_STEPS", 8))
+    tile = float(os.environ.get("SWEEP_TILE", 0.051))
     D, C = 2, 4
     sigma = 2.0 / max(P, 1) ** 0.5
 
@@ -71,31 +71,36 @@ def main():
                                       samples)
         cfg = native.config_from_plan(cfg0, plan, P)
 
-        def loss_fn(f, s):
+        from dgs_tpu.binning import grid as binning
+
+        def loss_fn(f, s, sb):
             outs, diag = field_outputs(cfg, f, s, orders=ORDERS,
                                        method="tiled", sorted_outputs=True,
-                                       unique_outputs=True)
+                                       unique_outputs=True,
+                                       padded_outputs=True, sample_binning=sb)
             loss = sum(jnp.einsum("nuc,u->", o * o, mults[k])
                        for k, o in outs.items())
-            return loss, None
+            return loss
 
-        @jax.jit
-        def step(f, s):
-            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(f, s)
-            return l, g
+        import functools
 
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run(f, s, sb, n):
+            def step(f, _):
+                l, g = jax.value_and_grad(loss_fn)(f, s, sb)
+                return jax.tree.map(lambda p, gr: p - 1e-12 * gr, f, g), l
+            return jax.lax.scan(step, f, None, length=n)
+
+        sb = jax.jit(binning.bin_samples, static_argnums=0)(cfg, samples_d)
         t0 = time.perf_counter()
-        l, g = step(field_d, samples_d)
-        jax.block_until_ready(g)
+        out = run(field_d, samples_d, sb, steps)
+        jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
 
-        times = []
-        for _ in range(steps):
-            t0 = time.perf_counter()
-            l, g = step(field_d, samples_d)
-            jax.block_until_ready(g)
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
+        t0 = time.perf_counter()
+        out = run(field_d, samples_d, sb, steps)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / steps
         results.append((combo, dt, compile_s))
         print(f"combo {combo}: {dt*1e3:.1f} ms/step "
               f"(compile {compile_s:.0f}s)", flush=True)
