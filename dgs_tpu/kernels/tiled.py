@@ -278,57 +278,31 @@ def _wl_backward_kernel(orders, period, D, C,
 
         k0 = 0
         dvals = None
-        dmu_acc = [None] * D
-        dcon_acc = [None] * tri
-        fus_orders, fus_hs, lap_polys = [], [], None
+        all_hs, lap_polys, third_polys = [], None, None
         for order in orders:
             nk = formulas.n_unique(order, D)
             polys = formulas.component_polys(order, Xs, con, a)
-            hs = []
+            if order == "laplacian":
+                lap_polys = polys
+            elif order == "third":
+                third_polys = polys
             for k in range(nk):
                 g_nc = ct[:, (k0 + k) * C:(k0 + k + 1) * C]   # (BN, C)
                 # h[n,p] = sum_c values[p,c] * g[n,c]  (backward.cu:122)
-                hs.append(jnp.dot(g_nc, values_t,
-                                  preferred_element_type=jnp.float32))
+                all_hs.append(jnp.dot(g_nc, values_t,
+                                      preferred_element_type=jnp.float32))
                 # dL/dvalues[c,p] += sum_n W_k[n,p] * g[n,c]
                 g_t = ct_t_ref[(k0 + k) * C:(k0 + k + 1) * C, :]  # (C, BN)
                 w_k = G if isinstance(polys[k], float) else G * polys[k]
                 dv = jnp.dot(g_t, w_k,
                              preferred_element_type=jnp.float32)
                 dvals = dv if dvals is None else dvals + dv
-            if order in formulas.FUSABLE_ORDERS:
-                # Collapsed closed form across the fused orders - one shared
-                # VJP instead of per-component loops (vjp_params_fused).
-                fus_orders.append(order)
-                fus_hs.extend(hs)
-                if order == "laplacian":
-                    lap_polys = polys
-            else:
-                dmu, dcon = formulas.vjp_params_folded(
-                    order, Xs, con, G, a, hs
-                )
-                for d in range(D):
-                    dmu_acc[d] = (
-                        dmu[d] if dmu_acc[d] is None else dmu_acc[d] + dmu[d]
-                    )
-                for t in range(tri):
-                    dcon_acc[t] = (
-                        dcon[t] if dcon_acc[t] is None
-                        else dcon_acc[t] + dcon[t]
-                    )
             k0 += nk
-        if fus_orders:
-            dmu, dcon = formulas.vjp_params_fused(
-                tuple(fus_orders), Xs, con, G, a, fus_hs, lap_polys
-            )
-            for d in range(D):
-                dmu_acc[d] = (
-                    dmu[d] if dmu_acc[d] is None else dmu_acc[d] + dmu[d]
-                )
-            for t in range(tri):
-                dcon_acc[t] = (
-                    dcon[t] if dcon_acc[t] is None else dcon_acc[t] + dcon[t]
-                )
+        # Collapsed closed form across ALL fused orders - one shared VJP
+        # instead of per-component loops (formulas.vjp_params_fused).
+        dmu_acc, dcon_acc = formulas.vjp_params_fused(
+            orders, Xs, con, G, a, all_hs, lap_polys, third_polys
+        )
 
         rows = (
             [jnp.sum(m, axis=0, keepdims=True) for m in dmu_acc]

@@ -322,30 +322,39 @@ def _a_dcon(Xs: Sequence, D: int):
     return table
 
 
-FUSABLE_ORDERS = ("value", "derivative", "laplacian")
+FUSABLE_ORDERS = ("value", "derivative", "laplacian", "third")
 
 
 def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
-                     G, a, hs: Sequence, lap_polys: Optional[Sequence] = None):
-    """Collapsed multi-order VJP for orders within {value, derivative,
-    laplacian} (use vjp_params_folded per order otherwise, e.g. for third).
+                     G, a, hs: Sequence,
+                     lap_polys: Optional[Sequence] = None,
+                     third_polys: Optional[Sequence] = None):
+    """Collapsed multi-order VJP across any subset of the four orders.
 
     ``hs`` is the flat list of FOLDED unique-component cotangents across
     ``orders`` in sequence (same layout the tiled backward kernel holds).
 
     Derivation: every component is a spatial derivative of G
-    (T_i = dG/dx_i = G a_i, T_ij = G (a_i a_j - C_ij)), and
-    dT_u/dmu_d = -T_{u,d}, so the weighted cotangent sum telescopes:
+    (T_u = G q_u with q_0 = 1, q_i = a_i, q_ij = a_i a_j - C_ij,
+    q_ijk = a_i a_j a_k - C_ij a_k - C_ik a_j - C_jk a_i; the reference's
+    "third" component is -q_ijk, forward.cu:247), dT_u/dmu_d = -T_{u,d}, and
+    q_{u,d} = a_d q_u - sum_l C_ld dq_u/da_l, so the weighted cotangent sum
+    telescopes into shared accumulators:
 
-        S0    = h0 + sum_i hd_i a_i + sum_{i<=j} hl_ij (a_i a_j - C_ij)
-        r     = H a  with H_ll = 2 hl_ll, H_lm = hl_lm   (symmetric matvec)
-        w     = hd + r,   z = w - 1/2 X S0
-        dmu_d = G ((C w)_d - a_d S0)
-        dcon  = G (X_v z_u + X_u z_v - hl_uv)   (hl term only where defined)
+        S0    = sum_u h~_u q_u          (h~ = h, except third: h~ = -h)
+        W_l   = sum_u h~_u dq_u/da_l
+        dmu_d = G ((C W)_d - a_d S0)
+        z_l   = W_l - 1/2 X_l S0
+        dcon_(u,v) = G (X_v z_u + X_u z_v - hl_uv + Y_uv)
 
-    This reproduces backward.cu:108-298 exactly (see vjp_params) with ~3x
-    fewer per-pair elementwise ops when the orders are fused - the per-pair
-    loop is the whole backward hot loop (SURVEY.md 3.3).
+    where Y collects the thirds' explicit conic derivatives
+    (Y_t = sum_{(ijk)} h_ijk (delta_(ij),t a_k + delta_(ik),t a_j
+    + delta_(jk),t a_i)).  This reproduces backward.cu:108-416 exactly (see
+    vjp_params) with ~3x fewer per-pair elementwise ops - the per-pair loop
+    is the whole backward hot loop (SURVEY.md 3.3).
+
+    ``lap_polys``/``third_polys`` (component_polys products) may be passed to
+    share the polynomial terms with the caller's forward-weight recompute.
     """
     D = len(Xs)
     tri = tri_size(D)
@@ -354,6 +363,7 @@ def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
     h0 = None
     hd = [None] * D
     hl = [None] * tri
+    h3 = {}  # unique tuple (i<=j<=k) -> folded cotangent
     k0 = 0
     for order in orders:
         nu = n_unique(order, D)
@@ -366,35 +376,54 @@ def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
         elif order == "laplacian":
             for t, (i, j) in enumerate(sym_indices(order, D)):
                 hl[tri_index(D, i, j)] = block[t]
+        elif order == "third":
+            for t, idx in enumerate(sym_indices(order, D)):
+                h3[idx] = block[t]
         else:
-            raise ValueError(
-                f"order {order!r} is not fusable (use vjp_params_folded)"
-            )
+            raise ValueError(f"unknown order {order!r}")
         k0 += nu
 
     def acc(x, y):
         return y if x is None else x + y
 
-    # S0 = sum_u h_u * (T_u / G); lap_polys (component_polys("laplacian"))
-    # may be supplied to share the a_i a_j - C_ij terms with the caller's
-    # forward-weight recompute.
+    # Shared polynomials (component_polys layout).
+    lp = {}
+    if lap_polys is not None:
+        lp = dict(zip(sym_indices("laplacian", D), lap_polys))
+
+    def q_pair(i, j):
+        key = (i, j) if i <= j else (j, i)
+        if key not in lp:
+            lp[key] = a[i] * a[j] - C(i, j)
+        return lp[key]
+
+    tp = {}
+    if third_polys is not None:
+        tp = dict(zip(sym_indices("third", D), third_polys))
+
+    def p_third(idx):
+        # The reference's third polynomial = -q_ijk (forward.cu:247).
+        if idx not in tp:
+            i, j, k = idx
+            tp[idx] = (C(i, j) * a[k] + C(i, k) * a[j] + C(j, k) * a[i]
+                       - a[i] * a[j] * a[k])
+        return tp[idx]
+
+    # S0 = sum_u h~_u q_u  (third: h~ q = (-h)(-p_ref) = h p_ref).
     S0 = h0
     for i in range(D):
         if hd[i] is not None:
             S0 = acc(S0, hd[i] * a[i])
     if any(h is not None for h in hl):
-        polys = {}
-        if lap_polys is not None:
-            polys = dict(zip(sym_indices("laplacian", D), lap_polys))
         for u in range(D):
             for v in range(u, D):
-                t = tri_index(D, u, v)
-                p_uv = polys.get((u, v), None)
-                if p_uv is None:
-                    p_uv = a[u] * a[v] - C(u, v)
-                S0 = acc(S0, hl[t] * p_uv)
+                S0 = acc(S0, hl[tri_index(D, u, v)] * q_pair(u, v))
+    for idx, h in h3.items():
+        S0 = acc(S0, h * p_third(idx))
 
-    # w = hd + H a  (H: folded laplacian cotangents, doubled diagonal)
+    # W_l = sum_u h~_u dq_u/da_l: derivative gives hd_l, laplacian gives
+    # (H a)_l with doubled diagonal, third gives -h3_ijk (delta_il q_jk +
+    # delta_jl q_ik + delta_kl q_ij).
     w = [None] * D
     for l in range(D):
         wl = hd[l]
@@ -404,6 +433,11 @@ def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
                 scale = 2.0 if l == m else 1.0
                 wl = acc(wl, (scale * hl[t]) * a[m])
         w[l] = wl
+    for (i, j, k), h in h3.items():
+        nh = -h
+        w[i] = acc(w[i], nh * q_pair(j, k))
+        w[j] = acc(w[j], nh * q_pair(i, k))
+        w[k] = acc(w[k], nh * q_pair(i, j))
 
     half_S0 = 0.5 * S0
 
@@ -415,6 +449,14 @@ def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
                 md = acc(md, C(d, l) * w[l])
         md = acc(md, -(a[d] * S0))
         dmu.append(G * md)
+
+    # Y_t: the thirds' explicit conic derivatives (+a at matching pairs,
+    # backward.cu:300-416's "dp += a" terms).
+    Y = [None] * tri
+    for (i, j, k), h in h3.items():
+        Y[tri_index(D, i, j)] = acc(Y[tri_index(D, i, j)], h * a[k])
+        Y[tri_index(D, i, k)] = acc(Y[tri_index(D, i, k)], h * a[j])
+        Y[tri_index(D, j, k)] = acc(Y[tri_index(D, j, k)], h * a[i])
 
     z = [
         (-(Xs[l] * half_S0)) if w[l] is None else (w[l] - Xs[l] * half_S0)
@@ -430,6 +472,8 @@ def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
                 term = Xs[v] * z[u] + Xs[u] * z[v]
             if hl[t] is not None:
                 term = term - hl[t]
+            if Y[t] is not None:
+                term = term + Y[t]
             dcon[t] = G * term
     return dmu, dcon
 

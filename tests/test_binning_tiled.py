@@ -188,3 +188,37 @@ def test_culled_zero_radius_gaussian(rng):
     assert not bool(mask[:, 2].any())
     ref = oracle.evaluate("value", m, v, c, s, pair_mask=mask)
     np.testing.assert_allclose(outs[0], ref, rtol=2e-4, atol=1e-5)
+
+
+def test_padded_sorted_unique_outputs_and_sample_binning(rng):
+    """padded+sorted+unique outputs with a prebuilt sample binning must give
+    the same loss and gradients as the plain path."""
+    from dgs_tpu.models.field import init_field
+
+    P, N, D, C = 400, 1500, 2, 3
+    f = init_field(jax.random.PRNGKey(3), P, D, C, sigma=0.06)
+    s = jnp.asarray(make_samples(rng, N, D))
+    cfg = SamplerConfig(tile_size=0.25, max_tiles_per_gaussian=4,
+                        eig_floor=1e-12, entry_capacity_factor=30.0,
+                        work_blocks_fwd=32, work_blocks_bwd=64)
+    con, cov = f.conics(), f.covariances()
+    sb = binning.bin_samples(cfg, s)
+
+    def loss(padded, sbin):
+        def inner(m, v, c):
+            outs, diag = sampling.sample_binned(
+                cfg, m, v, c, cov, s, ("value", "laplacian"),
+                sorted_outputs=True, unique_outputs=True,
+                padded_outputs=padded, sample_binning=sbin)
+            return sum(jnp.sum(o * o) for o in outs.values()), diag
+        return jax.value_and_grad(inner, argnums=(0, 1, 2), has_aux=True)(
+            f.means, f.values, con)
+
+    (l0, d0), g0 = loss(False, None)
+    (l1, d1), g1 = loss(True, sb)
+    for k in ("bin_overflow", "entry_overflow", "work_overflow_fwd",
+              "work_overflow_bwd"):
+        assert int(d1[k]) == 0, (k, int(d1[k]))
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
