@@ -79,3 +79,27 @@ def test_facade_dense_method_matches_tiled_masked(rng):
     np.testing.assert_allclose(
         tiled.sample_gaussians(), dense.sample_gaussians(), rtol=2e-4, atol=1e-5
     )
+
+
+def test_module_level_functional_api():
+    """The reference's module-level functional forms (__init__.py:21-36)
+    exist in JAX idiom and are differentiable."""
+    import dgs_tpu
+    import jax
+    import jax.numpy as jnp
+    from dgs_tpu.models.field import init_field
+
+    f = init_field(jax.random.PRNGKey(0), 40, 2, 3, sigma=0.1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (100, 2),
+                           minval=-1, maxval=1)
+    con = f.conics()
+    assert dgs_tpu.sample_gaussians(f.means, f.values, con, x).shape == (100, 3)
+    assert dgs_tpu.sample_gaussians_derivative(
+        f.means, f.values, con, x).shape == (100, 2, 3)
+    assert dgs_tpu.sample_gaussians_laplacian(
+        f.means, f.values, con, x).shape == (100, 2, 2, 3)
+    assert dgs_tpu.sample_gaussians_third_derivative(
+        f.means, f.values, con, x).shape == (100, 2, 2, 2, 3)
+    g = jax.grad(lambda m: jnp.sum(
+        dgs_tpu.sample_gaussians(m, f.values, con, x) ** 2))(f.means)
+    assert g.shape == f.means.shape and bool(jnp.isfinite(g).all())
