@@ -91,14 +91,24 @@ def field_outputs(cfg: SamplerConfig, field: GaussianField, samples,
 
 def pigs_loss(cfg: SamplerConfig, field: GaussianField, collocation,
               data_x, data_u, f_rhs, *, w_pde: float = 1.0,
-              w_data: float = 1.0, method: str = "tiled"):
-    """PDE residual + data loss; returns (loss, metrics)."""
+              w_data: float = 1.0, method: str = "tiled",
+              outs_reduce=None):
+    """PDE residual + data loss; returns (loss, metrics).
+
+    ``outs_reduce`` (optional) maps the raw field-outputs dict right after
+    evaluation - the hook Gaussian-sharded execution uses to all-reduce
+    partial mixtures over the 'model' mesh axis BEFORE the nonlinear loss
+    (parallel/mesh.py), so autodiff transposes the psum back to shard-local
+    parameter gradients.
+    """
     D = field.D
     use_tiled = method == "tiled"
     outs, diag = field_outputs(
         cfg, field, collocation, orders=("value", "laplacian"),
         method=method, sorted_outputs=use_tiled, unique_outputs=use_tiled,
     )
+    if outs_reduce is not None:
+        outs = outs_reduce(outs)
     col_pts = collocation[diag["perm"]] if use_tiled else collocation
     if use_tiled:
         from ..ops import formulas
@@ -118,6 +128,8 @@ def pigs_loss(cfg: SamplerConfig, field: GaussianField, collocation,
         cfg, field, data_x, orders=("value",), method=method,
         sorted_outputs=use_tiled, unique_outputs=use_tiled,
     )
+    if outs_reduce is not None:
+        outs_d = outs_reduce(outs_d)
     u_d = outs_d["value"][:, 0, :] if use_tiled else outs_d["value"]
     tgt = data_u[diag_d["perm"]] if use_tiled else data_u
     data = jnp.mean((u_d - tgt) ** 2)

@@ -157,6 +157,110 @@ def make_sharded_pigs_step(cfg: SamplerConfig, mesh: Mesh, optimizer,
     return jax.jit(step)
 
 
+def make_model_sharded_pigs_step(cfg: SamplerConfig, mesh: Mesh, optimizer,
+                                 f_rhs, u_star, *,
+                                 n_collocation: int = 4096,
+                                 method: str = "tiled",
+                                 w_pde: float = 1.0, w_data: float = 1.0):
+    """PIGS step with Gaussian parameters (and optimizer state) SHARDED over
+    the 'model' axis - the memory-scaling configuration for very large P
+    (BASELINE.json config 5: 1M Gaussians).
+
+    Dataflow per step:
+      * every model shard evaluates its partial mixture at its data shard's
+        collocation points (the mixture sum is associative);
+      * partial outputs all-reduce (psum) over 'model' BEFORE the nonlinear
+        loss - the autodiff transpose of that psum is a broadcast, so each
+        shard's parameter gradients stay LOCAL: no parameter all-gather and
+        no parameter-gradient all-reduce over 'model' ever happens;
+      * gradients pmean only over 'data' (the transpose of replicating the
+        parameters across data shards);
+      * the optimizer update runs shard-local on the sharded params/state -
+        the reduce-scatter-style sharded optimizer, for free.
+
+    Returns (step, shard_field): ``shard_field`` places a GaussianField (and
+    pytrees of matching leaves, e.g. optimizer state) with axis 0 sharded
+    over 'model'.
+    """
+    from ..models import pigs
+
+    n_shards = mesh.devices.size
+    assert n_collocation % n_shards == 0
+
+    def shard_field(tree):
+        # Axis 0 of every array leaf is the Gaussian axis; scalars (e.g. the
+        # optimizer step count) replicate.
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(mesh, P("model") if jnp.ndim(x) >= 1 else P()),
+            ),
+            tree,
+        )
+
+    def step(state: pigs.TrainState, key):
+        D = state.field.D
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(P("model"), P(("data", "model"))),
+            out_specs=(P(), P("model")),
+        )
+        def loss_and_grad(field, keys):
+            # All model shards of a data row share one key -> identical
+            # collocation points (keys is sharded over both axes; fold in
+            # nothing model-specific).
+            k1, k2 = jax.random.split(keys[0])
+            n_local = n_collocation // n_shards
+            collocation = jax.random.uniform(
+                k1, (n_local, D), minval=-1.0, maxval=1.0
+            )
+            data_x = jax.random.uniform(
+                k2, (max(n_local // 4, 1), D), minval=-1.0, maxval=1.0
+            )
+            data_u = u_star(data_x)
+            psum_outs = lambda outs: jax.tree.map(
+                lambda o: jax.lax.psum(o, "model"), outs
+            )
+
+            def local_loss(f):
+                return pigs.pigs_loss(
+                    cfg, f, collocation, data_x, data_u, f_rhs,
+                    w_pde=w_pde, w_data=w_data, method=method,
+                    outs_reduce=psum_outs,
+                )
+
+            (loss, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(field)
+            # Shard-local over 'model'; mean over 'data' only.
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads)
+            metrics = jax.tree.map(
+                lambda x: jax.lax.pmean(
+                    jnp.asarray(x, jnp.float32), ("data", "model")
+                ),
+                metrics,
+            )
+            return metrics, grads
+
+        # One key per (data, model) submesh row; model shards of a row get
+        # the same key via the ('data','model') sharding of a data-major
+        # reshape.
+        keys = jax.random.split(key, mesh.shape["data"])
+        keys = jnp.repeat(keys, mesh.shape["model"], axis=0)
+        metrics, grads = loss_and_grad(state.field, keys)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.field
+        )
+        field = optax_apply(state.field, updates)
+        field = field._replace(means=pigs.wrap_means(field.means, cfg.period))
+        return pigs.TrainState(field, opt_state, state.step + 1), metrics
+
+    return jax.jit(step), shard_field
+
+
 def optax_apply(params, updates):
     import optax
 

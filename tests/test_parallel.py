@@ -119,3 +119,66 @@ def test_sharded_grads_match_unsharded():
             np.testing.assert_allclose(
                 b, a, rtol=2e-3, atol=1e-5 * max(1.0, float(np.abs(a).max()))
             )
+
+
+def test_model_sharded_step_matches_replicated():
+    """Gaussian-sharded step (params + optimizer state over 'model', partial
+    mixture psum, shard-local updates) must produce the same loss and updated
+    parameters as the replicated step on a (1, M) mesh with matching
+    collocation sampling."""
+    M = 4
+    mesh_m = pmesh.make_mesh((1, M), devices=jax.devices()[:M])
+    mesh_1 = pmesh.make_mesh((1, 1), devices=jax.devices()[:1])
+    cfg = SamplerConfig()
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(7), 32, 2, 1, sigma=0.3)
+    opt = optax.adam(1e-2)
+    n_col = 64 * M  # model-sharded divides by M -> 64 local, same as (1,1)
+
+    step_m, shard_field = pmesh.make_model_sharded_pigs_step(
+        cfg, mesh_m, opt, f_rhs, u_star, n_collocation=n_col, method="dense"
+    )
+    state_m = pigs.TrainState(
+        shard_field(field), shard_field(opt.init(field)),
+        jnp.zeros((), jnp.int32),
+    )
+    step_r = pmesh.make_sharded_pigs_step(
+        cfg, mesh_1, opt, f_rhs, u_star, n_collocation=n_col // M,
+        method="dense",
+    )
+    state_r = pigs.TrainState(field, opt.init(field), jnp.zeros((), jnp.int32))
+    state_r = pmesh.replicate(state_r, mesh_1)
+
+    key = jax.random.PRNGKey(8)
+    state_m, met_m = step_m(state_m, key)
+    state_r, met_r = step_r(state_r, key)
+    np.testing.assert_allclose(
+        float(met_m["loss"]), float(met_r["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(state_m.field),
+                    jax.tree.leaves(state_r.field)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_model_sharded_step_learns_tiled():
+    mesh = pmesh.make_mesh((4, 2))
+    cfg = SamplerConfig(work_blocks_fwd=16, work_blocks_bwd=32)
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(0), 64, 2, 1, sigma=0.25)
+    opt = optax.adam(1e-2)
+    step, shard_field = pmesh.make_model_sharded_pigs_step(
+        cfg, mesh, opt, f_rhs, u_star, n_collocation=512, method="tiled"
+    )
+    state = pigs.TrainState(
+        shard_field(field), shard_field(opt.init(field)),
+        jnp.zeros((), jnp.int32),
+    )
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
