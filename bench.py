@@ -40,11 +40,14 @@ def main():
     # the 100k-Gaussian / sigma~0.0063 operating point (0.0637 and 0.0425 are
     # within ~2%; 0.51, the reference's world BLOCK_SIZE, is ~1.7x slower and
     # overflows the backward work cap).
-    tile = float(os.environ.get("BENCH_TILE", 0.051))
-    D, C = 2, 4
+    D = int(os.environ.get("BENCH_D", 2))
+    # Tile default tuned on-chip per D (D=3 footprints cover more tiles per
+    # Gaussian; a coarser grid balances entry count vs pair density).
+    tile = float(os.environ.get("BENCH_TILE", {2: 0.051, 3: 0.25}.get(D, 0.1)))
+    C = int(os.environ.get("BENCH_C", 4))
 
-    # sigma ~ 2/sqrt(P): footprints a few tiles wide at 100k Gaussians.
-    sigma = float(os.environ.get("BENCH_SIGMA", 2.0 / max(P, 1) ** 0.5))
+    # sigma ~ 2/P^(1/D): footprints a few tiles wide at 100k Gaussians.
+    sigma = float(os.environ.get("BENCH_SIGMA", 2.0 / max(P, 1) ** (1.0 / D)))
     # Init on the host CPU backend so the capacity planner never pulls data
     # back over the device tunnel (the first device->host transfer of a
     # process is pathologically slow on tunneled TPU backends).

@@ -118,12 +118,17 @@ def work_list(base, nblk, colmax: int, cap: int):
     work).  Items are ordered by row block, so the kernel's output index map
     is monotone and Pallas accumulates in VMEM between flushes.
 
-    Returns (row, col, first, compute, initialized, overflow):
-      row/col  (cap,) int32 block indices per work item
-      first    (cap,) 1 where the item is its row block's first -> zero-init
-      compute  (cap,) 1 where the item carries real work
+    The per-item fields ride in TWO scalar-prefetch arrays (they live in the
+    1MB SMEM - four separate arrays overflow it at ~65k work items):
+
+    Returns (aux, col, initialized, overflow):
+      aux      (cap,) int32 = row * 4 + first * 2 + compute, where ``row`` is
+        the item's row-block index, ``first`` flags its row block's first
+        item (-> zero-init the output block), ``compute`` flags real work
+      col      (cap,) int32 column-block index per work item
       initialized (B,) bool per row block: its first item fit under ``cap``
-        (rows of uninitialized blocks are garbage; callers mask them)
+        (rows of uninitialized blocks are garbage; callers must treat any
+        overflow as invalid results)
       overflow () int32: work items beyond ``cap`` (0 => exact)
     """
     B = base.shape[0]
@@ -150,7 +155,8 @@ def work_list(base, nblk, colmax: int, cap: int):
     ).astype(jnp.int32)
     initialized = starts < cap
     overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
-    return row, col, first, compute, initialized, overflow
+    aux = row * 4 + first * 2 + compute
+    return aux, col, initialized, overflow
 
 
 def work_total(nblk) -> jnp.ndarray:
@@ -165,16 +171,17 @@ def work_total(nblk) -> jnp.ndarray:
 
 
 def _wl_forward_kernel(orders, period, D, C,
-                       row_ref, col_ref, first_ref, valid_ref,
+                       aux_ref, col_ref,
                        geom_ref, ent_tile_ref, vals_ref,
                        samples_ref, s_tile_ref, out_ref):
     w = pl.program_id(0)
+    a_w = aux_ref[w]
 
-    @pl.when(first_ref[w] == 1)
+    @pl.when((a_w & 2) != 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(valid_ref[w] == 1)
+    @pl.when((a_w & 1) != 0)
     def _compute():
         tri = tri_size(D)
         Xs = [
@@ -215,26 +222,26 @@ def tiled_forward(
     whose work items overflowed the capacity are garbage - callers mask with
     the work list's ``initialized``.
     """
-    row, col, first, compute = wl
+    aux, col = wl
     gid, ent_tile, geom, vals, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
     tri = tri_size(D)
-    cap = row.shape[0]
+    cap = aux.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(cap,),
         in_specs=[
-            pl.BlockSpec((NPARAM, block_e), lambda w, r, c, f, v: (0, c[w])),
-            pl.BlockSpec((1, block_e), lambda w, r, c, f, v: (0, c[w])),
-            pl.BlockSpec((block_e, C), lambda w, r, c, f, v: (c[w], 0)),
-            pl.BlockSpec((D, block_n), lambda w, r, c, f, v: (0, r[w])),
-            pl.BlockSpec((1, block_n), lambda w, r, c, f, v: (0, r[w])),
+            pl.BlockSpec((NPARAM, block_e), lambda w, a, c: (0, c[w])),
+            pl.BlockSpec((1, block_e), lambda w, a, c: (0, c[w])),
+            pl.BlockSpec((block_e, C), lambda w, a, c: (c[w], 0)),
+            pl.BlockSpec((D, block_n), lambda w, a, c: (0, a[w] >> 2)),
+            pl.BlockSpec((1, block_n), lambda w, a, c: (0, a[w] >> 2)),
         ],
         out_specs=pl.BlockSpec(
-            (block_n, K * C), lambda w, r, c, f, v: (r[w], 0)
+            (block_n, K * C), lambda w, a, c: (a[w] >> 2, 0)
         ),
     )
 
@@ -243,7 +250,7 @@ def tiled_forward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, K * C), jnp.float32),
         interpret=_interpret(),
-    )(row, col, first, compute, geom, ent_tile, vals, s_sorted, s_tile)
+    )(aux, col, geom, ent_tile, vals, s_sorted, s_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -252,17 +259,18 @@ def tiled_forward(
 
 
 def _wl_backward_kernel(orders, period, D, C,
-                        row_ref, col_ref, first_ref, valid_ref,
+                        aux_ref, col_ref,
                         geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
                         ct_ref, ct_t_ref, dent_ref):
     w = pl.program_id(0)
     tri = tri_size(D)
+    a_w = aux_ref[w]
 
-    @pl.when(first_ref[w] == 1)
+    @pl.when((a_w & 2) != 0)
     def _init():
         dent_ref[...] = jnp.zeros_like(dent_ref)
 
-    @pl.when(valid_ref[w] == 1)
+    @pl.when((a_w & 1) != 0)
     def _compute():
         Xs = [
             formulas.wrap(
@@ -328,27 +336,27 @@ def tiled_backward(
     value rows.  The caller segment-sums by gaussian id (deterministic
     replacement for backward.cu's atomicAdd scatter) after masking
     uninitialized entry blocks."""
-    row, col, first, compute = wl
+    aux, col = wl
     gid, ent_tile, geom, vals, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
     tri = tri_size(D)
-    cap = row.shape[0]
+    cap = aux.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(cap,),
         in_specs=[
-            pl.BlockSpec((NPARAM, block_e), lambda w, r, c, f, v: (0, r[w])),
-            pl.BlockSpec((1, block_e), lambda w, r, c, f, v: (0, r[w])),
-            pl.BlockSpec((D, block_n), lambda w, r, c, f, v: (0, c[w])),
-            pl.BlockSpec((1, block_n), lambda w, r, c, f, v: (0, c[w])),
-            pl.BlockSpec((block_n, K * C), lambda w, r, c, f, v: (c[w], 0)),
-            pl.BlockSpec((K * C, block_n), lambda w, r, c, f, v: (0, c[w])),
+            pl.BlockSpec((NPARAM, block_e), lambda w, a, c: (0, a[w] >> 2)),
+            pl.BlockSpec((1, block_e), lambda w, a, c: (0, a[w] >> 2)),
+            pl.BlockSpec((D, block_n), lambda w, a, c: (0, c[w])),
+            pl.BlockSpec((1, block_n), lambda w, a, c: (0, c[w])),
+            pl.BlockSpec((block_n, K * C), lambda w, a, c: (c[w], 0)),
+            pl.BlockSpec((K * C, block_n), lambda w, a, c: (0, c[w])),
         ],
         out_specs=pl.BlockSpec(
-            (NPARAM, block_e), lambda w, r, c, f, v: (0, r[w])
+            (NPARAM, block_e), lambda w, a, c: (0, a[w] >> 2)
         ),
     )
 
@@ -357,4 +365,4 @@ def tiled_backward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NPARAM, Ep), jnp.float32),
         interpret=_interpret(),
-    )(row, col, first, compute, geom, ent_tile, s_sorted, s_tile, ct, ct_t)
+    )(aux, col, geom, ent_tile, s_sorted, s_tile, ct, ct_t)

@@ -253,7 +253,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     def f(m, v, c):
         ent = ktiled.prepare_entries(state, m, v, c, align_e)
         packed = ktiled.tiled_forward(
-            orders, period, D, C, wl_f[:4], ent, smp,
+            orders, period, D, C, wl_f[:2], ent, smp,
             block_n=block_n, block_e=block_e,
         )
         if padded_outputs:
@@ -273,7 +273,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
             gp = g if sorted_outputs else g[state.s_perm]
             gp = _pad_axis(gp, 0, Np)
         dent = ktiled.tiled_backward(
-            orders, period, D, C, wl_b[:4], ent, smp, gp, gp.T,
+            orders, period, D, C, wl_b[:2], ent, smp, gp, gp.T,
             block_n=bwd_block_n, block_e=bwd_block_e,
         )
         # Deterministic segment-sum of entry gradients by gaussian id

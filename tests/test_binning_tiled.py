@@ -99,9 +99,10 @@ def test_work_list_flattening():
 
     base = jnp.asarray([2, 0, 5, 1], jnp.int32)
     nblk = jnp.asarray([3, 0, 2, 1], jnp.int32)
-    row, col, first, compute, initialized, overflow = ktiled.work_list(
+    aux, col, initialized, overflow = ktiled.work_list(
         base, nblk, colmax=8, cap=10
     )
+    row, first, compute = aux >> 2, (aux >> 1) & 1, aux & 1
     # expected items: rows with nblk=0 still emit one (non-compute) item
     want = [(0, 2, 1, 1), (0, 3, 0, 1), (0, 4, 0, 1),
             (1, 0, 1, 0),                      # empty row block: init only

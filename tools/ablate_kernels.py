@@ -48,16 +48,17 @@ def timeit(name, fn, *args, reps=5):
 
 
 def fwd_kernel(mode, orders, period, D, C,
-               row_ref, col_ref, first_ref, valid_ref,
+               aux_ref, col_ref,
                geom_ref, ent_tile_ref, vals_ref,
                samples_ref, s_tile_ref, out_ref):
     w = pl.program_id(0)
+    a_w = aux_ref[w]
 
-    @pl.when(first_ref[w] == 1)
+    @pl.when((a_w & 2) != 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(valid_ref[w] == 1)
+    @pl.when((a_w & 1) != 0)
     def _compute():
         tri = tri_size(D)
         Xs = [formulas.wrap(geom_ref[d, :][None, :]
@@ -86,17 +87,18 @@ def fwd_kernel(mode, orders, period, D, C,
 
 
 def bwd_kernel(mode, orders, period, D, C,
-               row_ref, col_ref, first_ref, valid_ref,
+               aux_ref, col_ref,
                geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
                ct_ref, ct_t_ref, dent_ref):
     w = pl.program_id(0)
     tri = tri_size(D)
+    a_w = aux_ref[w]
 
-    @pl.when(first_ref[w] == 1)
+    @pl.when((a_w & 2) != 0)
     def _init():
         dent_ref[...] = jnp.zeros_like(dent_ref)
 
-    @pl.when(valid_ref[w] == 1)
+    @pl.when((a_w & 1) != 0)
     def _compute():
         Xs = [formulas.wrap(geom_ref[d, :][None, :]
                             - samples_ref[d, :][:, None], period)
@@ -203,7 +205,7 @@ def main():
         bnn = _pad_axis(bnn, 0, EB_b)
         wl_f = ktiled.work_list(fb, fn, EB_f, cfg.work_items_fwd + NB_f)
         wl_b = ktiled.work_list(bb, bnn, NB_b, cfg.work_items_bwd + EB_b)
-        return smp, ent, wl_f[:4], wl_b[:4]
+        return smp, ent, wl_f[:2], wl_b[:2]
 
     con, cov = field.conics(), field.covariances()
     smp, ent, wl_f, wl_b = jax.block_until_ready(
@@ -218,16 +220,16 @@ def main():
     def run_fwd(mode):
         cap = wl_f[0].shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4, grid=(cap,),
+            num_scalar_prefetch=2, grid=(cap,),
             in_specs=[
-                pl.BlockSpec((NPARAM, be), lambda w, r, c, f, v: (0, c[w])),
-                pl.BlockSpec((1, be), lambda w, r, c, f, v: (0, c[w])),
-                pl.BlockSpec((be, C), lambda w, r, c, f, v: (c[w], 0)),
-                pl.BlockSpec((D, bn), lambda w, r, c, f, v: (0, r[w])),
-                pl.BlockSpec((1, bn), lambda w, r, c, f, v: (0, r[w])),
+                pl.BlockSpec((NPARAM, be), lambda w, a, c: (0, c[w])),
+                pl.BlockSpec((1, be), lambda w, a, c: (0, c[w])),
+                pl.BlockSpec((be, C), lambda w, a, c: (c[w], 0)),
+                pl.BlockSpec((D, bn), lambda w, a, c: (0, a[w] >> 2)),
+                pl.BlockSpec((1, bn), lambda w, a, c: (0, a[w] >> 2)),
             ],
             out_specs=pl.BlockSpec((bn, K * C),
-                                   lambda w, r, c, f, v: (r[w], 0)),
+                                   lambda w, a, c: (a[w] >> 2, 0)),
         )
         f = pl.pallas_call(
             functools.partial(fwd_kernel, mode, ORDERS, cfg.period, D, C),
@@ -240,17 +242,17 @@ def main():
     def run_bwd(mode):
         cap = wl_b[0].shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4, grid=(cap,),
+            num_scalar_prefetch=2, grid=(cap,),
             in_specs=[
-                pl.BlockSpec((NPARAM, bbe), lambda w, r, c, f, v: (0, r[w])),
-                pl.BlockSpec((1, bbe), lambda w, r, c, f, v: (0, r[w])),
-                pl.BlockSpec((D, bbn), lambda w, r, c, f, v: (0, c[w])),
-                pl.BlockSpec((1, bbn), lambda w, r, c, f, v: (0, c[w])),
-                pl.BlockSpec((bbn, K * C), lambda w, r, c, f, v: (c[w], 0)),
-                pl.BlockSpec((K * C, bbn), lambda w, r, c, f, v: (0, c[w])),
+                pl.BlockSpec((NPARAM, bbe), lambda w, a, c: (0, a[w] >> 2)),
+                pl.BlockSpec((1, bbe), lambda w, a, c: (0, a[w] >> 2)),
+                pl.BlockSpec((D, bbn), lambda w, a, c: (0, c[w])),
+                pl.BlockSpec((1, bbn), lambda w, a, c: (0, c[w])),
+                pl.BlockSpec((bbn, K * C), lambda w, a, c: (c[w], 0)),
+                pl.BlockSpec((K * C, bbn), lambda w, a, c: (0, c[w])),
             ],
             out_specs=pl.BlockSpec((NPARAM, bbe),
-                                   lambda w, r, c, f, v: (0, r[w])),
+                                   lambda w, a, c: (0, a[w] >> 2)),
         )
         f = pl.pallas_call(
             functools.partial(bwd_kernel, mode, ORDERS, cfg.period, D, C),
