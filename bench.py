@@ -88,9 +88,10 @@ def main():
         if tiled:
             from dgs_tpu.ops import formulas
 
+            # padded outputs are lane-major (n_unique, C, Np).
             loss = sum(
                 jnp.einsum(
-                    "nuc,u->",
+                    "ucn,u->",
                     o * o,
                     jnp.asarray(formulas.sym_multiplicity(order, D),
                                 jnp.float32),

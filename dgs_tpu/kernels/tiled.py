@@ -11,20 +11,20 @@ block).  Pair validity inside a block is ``entry_tile == sample_tile`` - the
 exact pairing the reference's binning produces (a Gaussian meets a sample iff
 its 3-sigma rect covers the sample's tile).
 
-IO is packed for lane efficiency (a (N, C) f32 array with C=4 is physically
-padded to 128 lanes on TPU - separate per-component arrays cost ~32x their
-logical bandwidth):
+IO is packed LANE-MAJOR everywhere (a (N, K*C) f32 array with K*C=24 is
+physically padded to 128 lanes on TPU - the row-major orientation costs ~5x
+its logical bandwidth on every read and write):
 
   * per-entry parameters ride in one lane-major ``geom`` array
     (D+tri+C, Ep): means rows, conic rows, value rows;
-  * the forward writes one packed (Np, K*C) output (component-major columns);
-  * the backward consumes the packed cotangent in both orientations
-    ((Np, K*C) for the h matmuls, (K*C, Np) for the value-gradient matmuls)
-    and writes per-entry gradients into one packed (D+tri+C, Ep) array which
-    the caller segment-sums by gaussian id - a deterministic replacement for
-    the reference's atomicAdd scatter (backward.cu:121-152).
-
-All matmuls are plain NN contractions (MXU-native, no relayouts).
+  * the forward writes one packed (K*C, Np) output (component-major rows) -
+    its pair blocks are (entries, samples)-oriented so the output lands
+    lane-major with no epilogue transpose;
+  * the backward consumes the cotangent in that same single orientation
+    (transposed-lhs dots recover the h matrices, backward.cu:122) and writes
+    per-entry gradients into one packed (D+tri+C, Ep) array which the caller
+    segment-sums by gaussian id - a deterministic replacement for the
+    reference's atomicAdd scatter (backward.cu:121-152).
 """
 
 from __future__ import annotations
@@ -59,10 +59,10 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int):
     """Entry-ordered packed parameters, padded to a block multiple.
 
     One row gather builds (Ep, D+tri+C); the transpose is the lane-major
-    ``geom`` consumed by both kernels, the value columns double as the
-    sublane-major operand of the forward matmul.  Shared by forward and
-    backward (ops/sampling.py computes it once per custom_vjp forward and
-    stows it in the residuals).
+    ``geom`` consumed by both kernels (mean rows, conic rows, value rows -
+    the value rows are the (C, BP) matmul operand of both directions).
+    Shared by forward and backward (ops/sampling.py computes it once per
+    custom_vjp forward and stows it in the residuals).
 
     Sentinel entries (gid == P) hit an appended zero row; they are also
     tile-masked in-kernel, so both forward and backward contributions vanish.
@@ -84,8 +84,7 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int):
     )
     ent = params[gid]              # (Ep, NPARAM) - single row gather
     geom = ent.T                   # (NPARAM, Ep) lane-major
-    vals = ent[:, D + tri:]        # (Ep, C) sublane-major
-    return gid, tile, geom, vals, Ep
+    return gid, tile, geom, Ep
 
 
 def prepare_samples(state: BinningState, samples, block_n: int):
@@ -172,8 +171,12 @@ def work_total(nblk) -> jnp.ndarray:
 
 def _wl_forward_kernel(orders, period, D, C,
                        aux_ref, col_ref,
-                       geom_ref, ent_tile_ref, vals_ref,
+                       geom_ref, ent_tile_ref,
                        samples_ref, s_tile_ref, out_ref):
+    """Pair arrays are (BP entries, BN samples): entries ride the sublanes so
+    the outputs land lane-major (K*C, BN) - a (N, K*C) layout would pad its
+    24 columns to 128 lanes in HBM (5x physical traffic on every read and
+    write of the packed outputs/cotangents)."""
     w = pl.program_id(0)
     a_w = aux_ref[w]
 
@@ -186,22 +189,24 @@ def _wl_forward_kernel(orders, period, D, C,
         tri = tri_size(D)
         Xs = [
             formulas.wrap(
-                geom_ref[d, :][None, :] - samples_ref[d, :][:, None], period
+                geom_ref[d, :][:, None] - samples_ref[d, :][None, :], period
             )
             for d in range(D)
         ]
-        con = [geom_ref[D + t, :][None, :] for t in range(tri)]
+        con = [geom_ref[D + t, :][:, None] for t in range(tri)]
         G, a = formulas.power_terms(Xs, con)
-        G = G * _tile_mask(s_tile_ref, ent_tile_ref)
-        vals = vals_ref[...]  # (BP, C)
+        G = G * (
+            ent_tile_ref[0, :][:, None] == s_tile_ref[0, :][None, :]
+        ).astype(jnp.float32)
+        values_t = geom_ref[D + tri:D + tri + C, :]  # (C, BP)
         accs = []
         for order in orders:
             for wgt in formulas.components_unique(order, Xs, con, G, a):
-                # (BN, BP) @ (BP, C) on the MXU; fp32 accumulation
+                # (C, BP) @ (BP, BN) on the MXU; fp32 accumulation
                 # (config.h:20).
-                accs.append(jnp.dot(wgt, vals,
+                accs.append(jnp.dot(values_t, wgt,
                                     preferred_element_type=jnp.float32))
-        out_ref[...] += jnp.concatenate(accs, axis=1)  # (BN, K*C)
+        out_ref[...] += jnp.concatenate(accs, axis=0)  # (K*C, BN)
 
 
 def tiled_forward(
@@ -215,15 +220,15 @@ def tiled_forward(
     block_n: int = 256,
     block_e: int = 512,
 ) -> jnp.ndarray:
-    """Packed (Np, K*C) outputs in tile-sorted sample order.
+    """Packed lane-major (K*C, Np) outputs in tile-sorted sample order.
 
-    Column layout is component-major: columns [k*C, (k+1)*C) hold component k
-    (components enumerate ``orders`` in sequence).  Rows of sample blocks
-    whose work items overflowed the capacity are garbage - callers mask with
-    the work list's ``initialized``.
+    Row layout is component-major: rows [k*C, (k+1)*C) hold component k
+    (components enumerate ``orders`` in sequence).  Columns of sample blocks
+    whose work items overflowed the capacity are garbage - callers must
+    treat any work-list overflow as invalid results.
     """
     aux, col = wl
-    gid, ent_tile, geom, vals, Ep = ent
+    gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
@@ -236,21 +241,20 @@ def tiled_forward(
         in_specs=[
             pl.BlockSpec((NPARAM, block_e), lambda w, a, c: (0, c[w])),
             pl.BlockSpec((1, block_e), lambda w, a, c: (0, c[w])),
-            pl.BlockSpec((block_e, C), lambda w, a, c: (c[w], 0)),
             pl.BlockSpec((D, block_n), lambda w, a, c: (0, a[w] >> 2)),
             pl.BlockSpec((1, block_n), lambda w, a, c: (0, a[w] >> 2)),
         ],
         out_specs=pl.BlockSpec(
-            (block_n, K * C), lambda w, a, c: (a[w] >> 2, 0)
+            (K * C, block_n), lambda w, a, c: (0, a[w] >> 2)
         ),
     )
 
     return pl.pallas_call(
         functools.partial(_wl_forward_kernel, orders, period, D, C),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Np, K * C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
-    )(aux, col, geom, ent_tile, vals, s_sorted, s_tile)
+    )(aux, col, geom, ent_tile, s_sorted, s_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +286,6 @@ def _wl_backward_kernel(orders, period, D, C,
         G, a = formulas.power_terms(Xs, con)
         G = G * _tile_mask(s_tile_ref, ent_tile_ref)
         values_t = geom_ref[D + tri:D + tri + C, :]  # (C, BP)
-        ct = ct_ref[...]                              # (BN, K*C)
 
         k0 = 0
         dvals = None
@@ -295,11 +298,11 @@ def _wl_backward_kernel(orders, period, D, C,
             elif order == "third":
                 third_polys = polys
             for k in range(nk):
-                g_nc = ct[:, (k0 + k) * C:(k0 + k + 1) * C]   # (BN, C)
-                # h[n,p] = sum_c values[p,c] * g[n,c]  (backward.cu:122)
+                g_nc = ct_ref[:, (k0 + k) * C:(k0 + k + 1) * C]   # (BN, C)
+                # h[n,p] = sum_c g[n,c] * values[c,p]  (backward.cu:122)
                 all_hs.append(jnp.dot(g_nc, values_t,
                                       preferred_element_type=jnp.float32))
-                # dL/dvalues[c,p] += sum_n W_k[n,p] * g[n,c]
+                # dL/dvalues[c,p] += sum_n g[c,n] * W_k[n,p]
                 g_t = ct_t_ref[(k0 + k) * C:(k0 + k + 1) * C, :]  # (C, BN)
                 w_k = G if isinstance(polys[k], float) else G * polys[k]
                 dv = jnp.dot(g_t, w_k,
@@ -324,7 +327,7 @@ def tiled_backward(
     orders: Tuple[str, ...],
     period: Optional[float],
     D: int, C: int,
-    wl,                    # (row=entry block, col=sample block, first, compute)
+    wl,                    # (aux=row*4+first*2+compute, col=sample block)
     ent, smp,
     ct,                    # (Np, K*C) packed cotangents, tile-sorted rows
     ct_t,                  # (K*C, Np) the same, lane-major
@@ -334,10 +337,10 @@ def tiled_backward(
 ) -> jnp.ndarray:
     """Packed per-entry gradients (D+tri+C, Ep): means rows, conic rows,
     value rows.  The caller segment-sums by gaussian id (deterministic
-    replacement for backward.cu's atomicAdd scatter) after masking
-    uninitialized entry blocks."""
+    replacement for backward.cu's atomicAdd scatter); any work-list overflow
+    means invalid results (callers check the diagnostics)."""
     aux, col = wl
-    gid, ent_tile, geom, vals, Ep = ent
+    gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)

@@ -202,10 +202,11 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     values, conics) only - the reference's autograd contract
     (__init__.py:113-126).
 
-    With ``padded_outputs`` (requires sorted_outputs) each order keeps the
-    kernels' block-padded row count (rows >= N are zero) - reduction-style
-    losses consume them unchanged and the backward skips the pad/slice
-    round-trip over the (N, K*C) cotangent.
+    With ``padded_outputs`` (requires sorted_outputs) each order comes back
+    in the kernels' raw lane-major layout: (n_unique, C, Np) canonical
+    components with block-padded, tile-sorted sample columns (pad columns
+    are zero).  Reduction-style losses consume it zero-copy and the backward
+    skips every pad / slice / transpose over the packed cotangent.
     """
     from ..kernels import tiled as ktiled
     from ..kernels.dense import _pad_axis, _round_up
@@ -249,31 +250,28 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     # (sample_binned reports it; the facade raises under debug=True) - so no
     # masking is spent on the exact-capacity fast path here.
 
+    # The custom_vjp works entirely in the kernels' lane-major (K*C, Np)
+    # layout (see kernels/tiled.py: a row-major (N, K*C) array lane-pads 24
+    # columns to 128 in HBM).  All slicing / un-sorting / transposing to the
+    # public shapes happens OUTSIDE, so f_bwd always receives the cotangent
+    # already lane-major.
     @jax.custom_vjp
     def f(m, v, c):
         ent = ktiled.prepare_entries(state, m, v, c, align_e)
-        packed = ktiled.tiled_forward(
+        return ktiled.tiled_forward(
             orders, period, D, C, wl_f[:2], ent, smp,
             block_n=block_n, block_e=block_e,
-        )
-        if padded_outputs:
-            return packed     # (Np, K*C); rows >= N are zero
-        out = packed[:N]
-        return out if sorted_outputs else out[inv]
+        )                     # (K*C, Np); columns >= N are zero
 
     def f_fwd(m, v, c):
         return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e)
 
     def f_bwd(ent, g):
-        # g: (N, K*C) packed cotangent in the forward's row order
-        # ((Np, K*C) already when padded_outputs).
-        if padded_outputs:
-            gp = g
-        else:
-            gp = g if sorted_outputs else g[state.s_perm]
-            gp = _pad_axis(gp, 0, Np)
+        # g arrives lane-major (K*C, Np); the backward's h matmuls also want
+        # the (Np, K*C) orientation (in-kernel transposed-lhs dots measure
+        # slower than one outside transpose).
         dent = ktiled.tiled_backward(
-            orders, period, D, C, wl_b[:2], ent, smp, gp, gp.T,
+            orders, period, D, C, wl_b[:2], ent, smp, g.T, g,
             block_n=bwd_block_n, block_e=bwd_block_e,
         )
         # Deterministic segment-sum of entry gradients by gaussian id
@@ -284,18 +282,29 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
         return d[:, :D], d[:, D + tri:], d[:, D:D + tri]
 
     f.defvjp(f_fwd, f_bwd)
-    packed = f(means, values, conics)
+    packed_t = f(means, values, conics)    # (K*C, Np)
+
+    if not padded_outputs:
+        out = packed_t[:, :N].T            # (N, K*C)
+        if not sorted_outputs:
+            out = out[inv]
 
     # Mirror the kernels' unique (canonical i<=j<=k) components into the full
     # symmetric tensors.  This happens OUTSIDE the custom_vjp, so its
     # transpose folds the duplicated positions' cotangents into the unique
     # slots automatically (valid: every per-component VJP term is symmetric
     # in the component's indices - formulas.vjp_params_folded).
-    n_out = packed.shape[0] if padded_outputs else N
     outs, k0 = [], 0
     for order in orders:
         nu = formulas.n_unique(order, D)
-        block = packed[:, k0 * C:(k0 + nu) * C].reshape(n_out, nu, C)
+        if padded_outputs:
+            # Raw lane-major (nu, C, Np) canonical components - the
+            # zero-copy layout for reduction-style losses (pad columns are
+            # zero).
+            outs.append(packed_t[k0 * C:(k0 + nu) * C, :].reshape(nu, C, -1))
+            k0 += nu
+            continue
+        block = out[:, k0 * C:(k0 + nu) * C].reshape(N, nu, C)
         if unique_outputs:
             # Skip the mirror: (N, n_unique, C) canonical components
             # (formulas.sym_indices order; sym_multiplicity gives the fold
@@ -306,7 +315,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
             fmap = formulas.full_to_unique(order, D)
             if len(fmap) != nu:
                 block = block[:, jnp.asarray(fmap, jnp.int32), :]
-            outs.append(block.reshape(out_shape(order, n_out, D, C)))
+            outs.append(block.reshape(out_shape(order, N, D, C)))
         k0 += nu
     return tuple(outs)
 
