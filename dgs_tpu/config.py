@@ -77,10 +77,11 @@ class SamplerConfig:
 
     # Pallas block sizes (tunable; defaults from the on-chip sweep at the
     # 100k-Gaussian / 1M-sample operating point, tools/sweep_blocks.py).
-    # Unset backward blocks fall back to half the forward sizes (min 8
-    # sublanes / 128 lanes).
-    block_n: int = 256
-    block_p: int = 256
+    # block_n = samples (the kernels' LANE axis), block_p = entries
+    # (sublanes).  Unset backward blocks fall back to half the forward sizes
+    # (min 8 sublanes / 128 lanes).
+    block_n: int = 512
+    block_p: int = 128
     block_n_bwd: Optional[int] = 256
     block_p_bwd: Optional[int] = 128
     # Static work-list capacity for the tiled kernels when binning is built

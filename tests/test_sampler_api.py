@@ -103,3 +103,23 @@ def test_module_level_functional_api():
     g = jax.grad(lambda m: jnp.sum(
         dgs_tpu.sample_gaussians(m, f.values, con, x) ** 2))(f.means)
     assert g.shape == f.means.shape and bool(jnp.isfinite(g).all())
+
+
+def test_profiling_trace_and_aggregation(tmp_path):
+    """utils.profiling captures a trace and aggregates per-op device time
+    (works on CPU too - empty device table is acceptable there, the parse
+    path is what's under test)."""
+    import jax
+    import jax.numpy as jnp
+    from dgs_tpu.utils import profiling
+
+    @jax.jit
+    def f(x):
+        with profiling.named_scope("square"):
+            return jnp.sum(x * x)
+
+    d = str(tmp_path / "trace")
+    with profiling.trace(d):
+        jax.block_until_ready(f(jnp.arange(1024.0)))
+    rows = profiling.device_op_times(d, top=5)
+    assert isinstance(rows, list)

@@ -24,14 +24,11 @@ from dgs_tpu.utils import native
 
 COMBOS = [
     # (block_n, block_p, block_n_bwd, block_p_bwd)
-    (256, 256, 256, 128),  # current default
-    (512, 512, 256, 128),
-    (512, 256, 256, 128),
-    (256, 512, 256, 128),
-    (256, 256, 256, 256),
-    (256, 256, 128, 128),
-    (512, 512, 512, 128),
-    (512, 512, 256, 256),
+    (512, 128, 256, 128),
+    (512, 128, 128, 128),
+    (512, 128, 512, 128),
+    (512, 128, 128, 256),
+    (512, 128, 256, 256),
 ]
 
 ORDERS = ("value", "derivative", "laplacian")
@@ -78,7 +75,7 @@ def main():
                                        method="tiled", sorted_outputs=True,
                                        unique_outputs=True,
                                        padded_outputs=True, sample_binning=sb)
-            loss = sum(jnp.einsum("nuc,u->", o * o, mults[k])
+            loss = sum(jnp.einsum("ucn,u->", o * o, mults[k])
                        for k, o in outs.items())
             return loss
 
