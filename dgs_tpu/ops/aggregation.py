@@ -48,13 +48,26 @@ from . import formulas
 class Neighbors(NamedTuple):
     """Capacity-padded neighbor table (the reference's CSR arrays
     indices/ranges/dists/densities/inv_total_densities,
-    aggregate_neighbors.cu:347-350, with padding instead of ragged ranges)."""
+    aggregate_neighbors.cu:347-350, with padding instead of ragged ranges).
+
+    The grid variant also carries the tile-sorted entry list (ent_gid), the
+    per-tile entry range starts (ent_start), and each center's tile
+    (tile_of_center): slot j of center i is entry
+    ``ent_start[tile_of_center[i]] + j``.  aggregate() then fetches the
+    neighbors' features/keys the same way preprocess_grid fetches
+    parameters: monotone per-tile window gathers into a (T, NC, *) table
+    plus one wide-row gather by center tile - random (P, NC) row gathers
+    serialize at ~14 ns/row on TPU and dominated the aggregation step
+    before this."""
 
     indices: jnp.ndarray             # (P, NC) int32, -1 = invalid slot
     dists: jnp.ndarray               # (P, NC, D) normalized wrapped offsets
     densities: jnp.ndarray           # (P, NC)
     inv_total_densities: jnp.ndarray # (P,)
     overflow: jnp.ndarray            # () int32: collisions beyond capacity
+    ent_gid: Optional[jnp.ndarray] = None         # (E,) int32, P = sentinel
+    ent_start: Optional[jnp.ndarray] = None       # (T+2,) int32
+    tile_of_center: Optional[jnp.ndarray] = None  # (P,) int32
 
 
 def _collision_counts(cfg, means, radii):
@@ -75,6 +88,51 @@ def _collision_counts(cfg, means, radii):
 def suggest_capacity(cfg: SamplerConfig, means, radii) -> int:
     """Host-side max collision count (for choosing the static capacity)."""
     return int(jax.device_get(_collision_counts(cfg, means, radii).max()))
+
+
+def suggest_grid_capacities(cfg: SamplerConfig, means, radii,
+                            auto_tile: bool = True):
+    """Host-side capacity plan for preprocess_grid.
+
+    Returns (cfg, neighbor_capacity, rect_capacity): a config whose tile
+    size is matched to the collision radii (the sampler's 3-sigma grid is
+    usually far coarser than the 0.2-shrunk collision radii - reusing it
+    inflates the per-tile candidate tables by the density ratio), the max
+    per-TILE candidate count under the inflated collision radii
+    (preprocess_grid's table width), and the per-axis duplicate extent.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ..binning import grid as binning
+
+    P, D = means.shape
+    cfg = cfg.with_dims(D)
+    r = np.asarray(jax.device_get(radii)) * 0.2
+    alive = r >= 1e-6
+    r_eff = np.where(alive, r, 0.0)
+    rho = np.where(alive, r_eff + r_eff.max(initial=0.0), 0.0)
+    rho_max = float(rho.max(initial=0.0))
+    if auto_tile and rho_max > 0.0:
+        extent = (cfg.period if cfg.period is not None
+                  else cfg.upper[0] - cfg.lower[0])
+        tile = max(2.0 * rho_max, extent / 512.0)
+        if tile < cfg.tile_size:
+            cfg = dataclasses.replace(cfg, tile_size=tile)
+    rect = min(
+        int(np.ceil(2.0 * rho_max / cfg.tile_size)) + 2,
+        max(cfg.grid_shape()),
+    )
+    ent = binning.duplicate_entries(
+        cfg, jnp.asarray(means), jnp.asarray(rho), rect,
+        P * rect ** D,
+    )
+    ent_tile = np.asarray(jax.device_get(ent[1]))
+    T = binning.num_tiles(cfg, D)
+    counts = np.bincount(ent_tile[ent_tile < T], minlength=T)
+    nc = int(counts.max(initial=1))
+    return cfg, max(8, -(-nc // 8) * 8), rect
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
@@ -171,6 +229,7 @@ def preprocess_grid(
     return Neighbors(
         out_idx, X * inv_norm[:, None, None], dens,
         1.0 / (total + 1e-6), overflow,
+        ent_gid=ent_gid, ent_start=ent_start, tile_of_center=tile_i,
     )
 
 
@@ -246,38 +305,53 @@ def aggregate(
     nfreq = (E - 1) // D // 2
     stride = (E - 1) // D
 
-    idx = jnp.maximum(nbr.indices, 0)
+    NC = nbr.indices.shape[1]
     valid = (nbr.indices >= 0).astype(features.dtype)  # (P, NC)
 
+    if nbr.ent_gid is not None:
+        # Grid path (see Neighbors docstring): E-row gather of the entries'
+        # features/keys, monotone window gathers into the per-tile table,
+        # one wide-row gather by center tile.
+        T = nbr.ent_start.shape[0] - 2
+        E_n = nbr.ent_gid.shape[0]
+        fk = jnp.concatenate([features, keys], axis=1)       # (P, L+K)
+        fk = jnp.concatenate([fk, jnp.zeros((1, fk.shape[1]), fk.dtype)], 0)
+        ent_fk = fk[jnp.minimum(nbr.ent_gid, features.shape[0])]  # (E, L+K)
+        win = nbr.ent_start[:T, None] + jnp.arange(NC, dtype=jnp.int32)
+        tvalid = win < nbr.ent_start[1:T + 1, None]
+        tbl = jnp.where(
+            tvalid[..., None], ent_fk[jnp.minimum(win, E_n - 1)], 0.0
+        )                                                    # (T, NC, L+K)
+        ctr = tbl[nbr.tile_of_center]                        # (P, NC, L+K)
+        nbr_features = ctr[..., :L]
+        nbr_keys = ctr[..., L:]
+    else:
+        idx = jnp.maximum(nbr.indices, 0)
+        nbr_features = features[idx]
+        nbr_keys = keys[idx]
+
     # Attention weight w_ij = <query_i, key_j>  (lines 173-176).
-    w = jnp.einsum("pk,pnk->pn", queries, keys[idx])
+    w = jnp.einsum("pk,pnk->pn", queries, nbr_keys)
 
     # Sinusoidal positional code of the normalized offset (lines 178-193).
+    # Accumulated per (dim, frequency) term over (P, NC) arrays - a single
+    # (P, NC, D, nfreq) phase tensor would materialize D*nfreq times the
+    # table (and its autodiff residuals) through HBM.
     X = nbr.dists  # (P, NC, D)
-    freq = frequencies[:nfreq]
-    phase = freq[None, None, None, :] * jnp.pi * X[..., None]  # (P,NC,D,nfreq)
-    s, c = jnp.sin(phase), jnp.cos(phase)
     dt = distance_transform
-    d_idx = jnp.arange(D)[:, None] * stride  # (D, 1)
-    e_idx = jnp.arange(nfreq)[None, :] * 2   # (1, nfreq)
-    emb_s = dt[d_idx + e_idx]                # (D, nfreq)
-    emb_c = dt[d_idx + e_idx + 1]
-    fac_s = dt[E + d_idx + e_idx]
-    fac_c = dt[E + d_idx + e_idx + 1]
-    embedding = (
-        jnp.einsum("pnde,de->pn", s, emb_s)
-        + jnp.einsum("pnde,de->pn", c, emb_c)
-        + dt[E - 1]
-    )
-    factor = (
-        jnp.einsum("pnde,de->pn", s, fac_s)
-        + jnp.einsum("pnde,de->pn", c, fac_c)
-        + dt[2 * E - 1]
-    )
+    embedding = jnp.broadcast_to(dt[E - 1], X.shape[:2])
+    factor = jnp.broadcast_to(dt[2 * E - 1], X.shape[:2])
+    for d in range(D):
+        for e in range(nfreq):
+            phase = (frequencies[e] * jnp.pi) * X[..., d]  # (P, NC)
+            s, c = jnp.sin(phase), jnp.cos(phase)
+            i = d * stride + 2 * e
+            embedding = embedding + s * dt[i] + c * dt[i + 1]
+            factor = factor + s * dt[E + i] + c * dt[E + i + 1]
 
     # Density-normalized attention (lines 198-206).
     coeff = nbr.inv_total_densities[:, None] * nbr.densities * w * valid
-    pre = jnp.einsum("pn,pnl->pl", coeff * factor, features[idx]) + (
+    pre = jnp.einsum("pn,pnl->pl", coeff * factor, nbr_features) + (
         (coeff * embedding).sum(axis=1, keepdims=True)
     )
     return jnp.einsum("pj,jk->pk", pre, transform)

@@ -173,11 +173,20 @@ class GaussianSampler:
                              rect_capacity: Optional[int] = None):
         """Build neighbor lists (reference preprocess_aggregate,
         __init__.py:291-301).  method="grid" uses the world-grid cell-list
-        search (O(P*candidates)); "dense" the reference-shaped O(P^2) scan."""
+        search (O(P*candidates)); "dense" the reference-shaped O(P^2) scan.
+        Unset capacities are planned from the collision radii (grid tile
+        matched to them, exact per-tile table width)."""
         if method == "grid":
+            cfg = self.config
+            if neighbor_capacity is None or rect_capacity is None:
+                cfg, nc_auto, rect_auto = aggregation.suggest_grid_capacities(
+                    cfg, self.means, self.radii
+                )
+                neighbor_capacity = neighbor_capacity or nc_auto
+                rect_capacity = rect_capacity or rect_auto
             agg = snapshot_call(
                 self.debug, "preprocess_agg", aggregation.preprocess_grid,
-                self.config, self.means, self.conics, self.radii,
+                cfg, self.means, self.conics, self.radii,
                 neighbor_capacity, rect_capacity,
             )
         else:

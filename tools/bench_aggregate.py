@@ -1,0 +1,135 @@
+"""Neighbor-aggregation benchmark (the reference's second subsystem,
+aggregate_neighbors.cu): grid preprocess + attention aggregation fwd+bwd.
+
+Measures Gaussians/s through preprocess_grid (collision search + neighbor
+table) and through aggregate + grad over all six parameter groups, at a
+PIGS-dynamics-like operating point.  Prints one JSON line per phase.
+
+Env: AGG_P, AGG_L (feature channels), AGG_K (query/key dim), AGG_NFREQ,
+AGG_STEPS, AGG_SIGMA.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from dgs_tpu.config import SamplerConfig
+from dgs_tpu.models.field import init_field
+from dgs_tpu.ops import aggregation
+from dgs_tpu.oracle.dense import radii as compute_radii
+from dgs_tpu.utils import native
+
+
+def main():
+    P = int(os.environ.get("AGG_P", 100_000))
+    L = int(os.environ.get("AGG_L", 8))
+    K = int(os.environ.get("AGG_K", 8))
+    nfreq = int(os.environ.get("AGG_NFREQ", 4))
+    steps = int(os.environ.get("AGG_STEPS", 10))
+    D = 2
+    sigma = float(os.environ.get("AGG_SIGMA", 2.0 / max(P, 1) ** 0.5))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        field = init_field(jax.random.PRNGKey(0), P, D, L, sigma=sigma)
+        key = jax.random.PRNGKey(1)
+        ks = jax.random.split(key, 6)
+        E = nfreq * D * 2 + 1
+        params = dict(
+            features=jax.random.normal(ks[0], (P, L)) * 0.1,
+            transform=jax.random.normal(ks[1], (L, L)) * 0.1,
+            queries=jax.random.normal(ks[2], (P, K)) * 0.1,
+            keys=jax.random.normal(ks[3], (P, K)) * 0.1,
+            frequencies=jnp.abs(jax.random.normal(ks[4], (nfreq,))) + 0.5,
+            distance_transform=jax.random.normal(ks[5], (2 * E,)) * 0.1,
+        )
+        cov = field.covariances()
+        con = field.conics()
+
+    cfg = SamplerConfig(tile_size=float(os.environ.get("AGG_TILE", 0.051)),
+                        eig_floor=1e-12)
+    rad_host = compute_radii(cov, D, cfg.radius_sigma, cfg.eig_floor)
+    cfg, NC, rect = aggregation.suggest_grid_capacities(
+        cfg, field.means, rad_host
+    )
+
+    dev = jax.devices()[0]
+    means = jax.device_put(field.means, dev)
+    con = jax.device_put(con, dev)
+    rad = jax.device_put(rad_host, dev)
+    params = jax.device_put(params, dev)
+
+    pre = functools.partial(
+        aggregation.preprocess_grid, cfg,
+        neighbor_capacity=NC, rect_capacity=rect,
+    )
+
+    @jax.jit
+    def preprocess_n(means, con, rad, n):
+        def body(m, _):
+            nbr = pre(m, con, rad)
+            # dependency: nudge means by a tiny function of the table
+            m = m + 1e-12 * nbr.inv_total_densities[:, None]
+            return m, nbr.overflow
+        return jax.lax.scan(body, means, None, length=steps)
+
+    m2, of = preprocess_n(means, con, rad, steps)
+    jax.block_until_ready(m2)
+    t0 = time.perf_counter()
+    m2, of = preprocess_n(means, con, rad, steps)
+    jax.block_until_ready(m2)
+    dt_pre = (time.perf_counter() - t0) / steps
+
+    nbr = jax.jit(pre)(means, con, rad)
+    jax.block_until_ready(nbr)
+
+    def loss(p, nbr):
+        out = aggregation.aggregate(
+            p["features"], p["transform"], p["queries"], p["keys"],
+            p["frequencies"], p["distance_transform"], nbr,
+        )
+        return jnp.sum(out * out)
+
+    @jax.jit
+    def train_n(p, nbr):
+        def body(p, _):
+            l, g = jax.value_and_grad(loss)(p, nbr)
+            p = jax.tree.map(lambda a, b: a - 1e-12 * b, p, g)
+            return p, l
+        return jax.lax.scan(body, p, None, length=steps)
+
+    p2, ls = train_n(params, nbr)
+    jax.block_until_ready(p2)
+    t0 = time.perf_counter()
+    p2, ls = train_n(params, nbr)
+    jax.block_until_ready(p2)
+    dt_fb = (time.perf_counter() - t0) / steps
+
+    overflow = int(jax.device_get(nbr.overflow))
+    print(json.dumps({
+        "metric": "aggregation_preprocess_gaussians_per_sec",
+        "value": round(P / dt_pre, 1),
+        "unit": "gaussians/s",
+        "step_s": round(dt_pre, 5),
+        "neighbor_capacity": NC,
+        "overflow": overflow,
+    }))
+    print(json.dumps({
+        "metric": "aggregation_fwd_bwd_gaussians_per_sec",
+        "value": round(P / dt_fb, 1),
+        "unit": "gaussians/s",
+        "step_s": round(dt_fb, 5),
+        "P": P, "L": L, "K": K, "nfreq": nfreq,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
