@@ -46,6 +46,10 @@ class BinningState(NamedTuple):
     ent_gid: jnp.ndarray      # (E,) int32 gaussian id, P = sentinel pad
     ent_tile: jnp.ndarray     # (1, E) int32 flat tile id, T = sentinel pad
     ent_start: jnp.ndarray    # (T+2,) int32 entry range starts per tile
+    ent_shift: jnp.ndarray    # (E,) int32 packed periodic-image shift
+    #   ((k_d + 1) in 2 bits per axis): the kernels evaluate X = mu' - x
+    #   with mu' = mu - period * k, removing the per-pair torus wrap when
+    #   footprints are compact (cfg.unwrapped_kernels)
     # Sorted samples:
     s_perm: jnp.ndarray       # (N,) int32 sample id by sorted position
     s_tile: jnp.ndarray       # (1, N) int32 tile of sorted sample, T+1 = pad
@@ -158,9 +162,18 @@ def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
     valid = jnp.all(cand < hi[:, None, :], axis=-1)
     g = jnp.asarray(grid, jnp.int32)
     if cfg.period is not None:
-        cand = jnp.remainder(cand, g)
+        # Periodic image of the candidate tile.  The shift (which image of
+        # the Gaussian this entry represents) is packed 2 bits per axis and
+        # rides the sort, so kernels can evaluate with per-entry shifted
+        # means and no per-pair wrap (prepare_entries).
+        kimg = jnp.floor_divide(cand, g)          # (P, dup, D) in {-1, 0, 1}
+        cand = cand - kimg * g
+        shift = jnp.sum(
+            (kimg + 1) << (2 * jnp.arange(D, dtype=jnp.int32)), axis=-1
+        ).astype(jnp.int32)
     else:
         valid = valid & jnp.all(cand < g, axis=-1) & jnp.all(cand >= 0, axis=-1)
+        shift = jnp.full((P, dup), _SHIFT_ZERO[D], jnp.int32)
     tile = (cand * jnp.asarray(strides, jnp.int32)).sum(-1)  # (P, dup)
     tile = jnp.where(valid, tile, T)  # sentinel tile sorts last
 
@@ -169,12 +182,15 @@ def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
         jnp.arange(P, dtype=jnp.int32)[:, None], (P, dup)
     ).reshape(P * dup)
     ent_gid_flat = jnp.where(ent_tile_flat == T, P, ent_gid_flat)
+    ent_shift_flat = shift.reshape(P * dup)
 
-    # Pair sort with the gaussian id as payload (stable: preserves gaussian
-    # order within a tile).  argsort + two gathers would pay ~7ns/row random
-    # access twice; the payload rides the sort's sequential merges instead.
-    ent_tile, ent_gid = jax.lax.sort(
-        (ent_tile_flat, ent_gid_flat), num_keys=1, is_stable=True
+    # Pair sort with the gaussian id and image shift as payloads (stable:
+    # preserves gaussian order within a tile).  argsort + gathers would pay
+    # ~7ns/row random access per array; payloads ride the sort's sequential
+    # merges instead.
+    ent_tile, ent_gid, ent_shift = jax.lax.sort(
+        (ent_tile_flat, ent_gid_flat, ent_shift_flat),
+        num_keys=1, is_stable=True,
     )
 
     # Compact: sentinels sorted last, so truncating to the static entry
@@ -186,11 +202,17 @@ def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
         entry_overflow = jnp.maximum(n_valid - E_cap, 0).astype(jnp.int32)
         ent_tile = ent_tile[:E_cap]
         ent_gid = ent_gid[:E_cap]
+        ent_shift = ent_shift[:E_cap]
 
     ent_start = jnp.searchsorted(
         ent_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return ent_gid, ent_tile, ent_start, overflow, entry_overflow
+    return ent_gid, ent_tile, ent_start, ent_shift, overflow, entry_overflow
+
+
+# Packed "zero shift" value per dimensionality ((k_d + 1) == 1 in each
+# 2-bit field).
+_SHIFT_ZERO = {1: 1, 2: 0b0101, 3: 0b010101}
 
 
 def entry_capacity(cfg: SamplerConfig, P: int, R: int) -> int:
@@ -256,7 +278,8 @@ def build(
     R = cfg.max_tiles_per_gaussian
 
     rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
-    ent_gid, ent_tile, ent_start, overflow, entry_overflow = duplicate_entries(
+    (ent_gid, ent_tile, ent_start, ent_shift, overflow,
+     entry_overflow) = duplicate_entries(
         cfg, means, rad, R, entry_capacity(cfg, P, R)
     )
 
@@ -268,6 +291,7 @@ def build(
         ent_gid=ent_gid,
         ent_tile=ent_tile[None, :],
         ent_start=ent_start,
+        ent_shift=ent_shift,
         s_perm=sb.s_perm,
         s_tile=sb.s_tile,
         s_start=sb.s_start,

@@ -74,6 +74,12 @@ class SamplerConfig:
     tile_gaussian_capacity: int = 1024
     tile_sample_capacity: int = 1024
     dtype: str = "float32"
+    # Evaluate pairs from per-entry period-shifted means with NO per-pair
+    # torus wrap.  Exact iff every footprint is compact:
+    # max_radius + tile_size < period / 2 per axis (the planner certifies
+    # this - utils.native.plan_capacities["safe_unwrapped"]).  The binning
+    # always carries the image shifts; this flag only switches the kernels.
+    unwrapped_kernels: bool = False
 
     # Pallas block sizes (tunable; defaults from the on-chip sweep at the
     # 100k-Gaussian / 1M-sample operating point, tools/sweep_blocks.py).

@@ -55,7 +55,8 @@ def n_params(D: int, C: int) -> int:
     return D + tri_size(D) + C
 
 
-def prepare_entries(state: BinningState, means, values, conics, block_e: int):
+def prepare_entries(state: BinningState, means, values, conics, block_e: int,
+                    period=None):
     """Entry-ordered packed parameters, padded to a block multiple.
 
     One row gather builds (Ep, D+tri+C); the transpose is the lane-major
@@ -63,6 +64,14 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int):
     the value rows are the (C, BP) matmul operand of both directions).
     Shared by forward and backward (ops/sampling.py computes it once per
     custom_vjp forward and stows it in the residuals).
+
+    With ``period`` set, each entry's mean is shifted to the periodic image
+    its tile sees (mu' = mu - period * k from the binning's packed shift),
+    so X = mu' - x equals the minimum-image displacement for every pair the
+    binning pairs it with - letting the kernels skip the per-pair wrap when
+    footprints are compact (cfg.unwrapped_kernels).  The shift is a no-op
+    under the wrapped kernels (wrap is period-invariant), so it is always
+    applied for periodic domains.
 
     Sentinel entries (gid == P) hit an appended zero row; they are also
     tile-masked in-kernel, so both forward and backward contributions vanish.
@@ -83,6 +92,12 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int):
         [params, jnp.zeros((1, params.shape[1]), params.dtype)], 0
     )
     ent = params[gid]              # (Ep, NPARAM) - single row gather
+    if period is not None:
+        shift = _pad_axis(state.ent_shift, 0, Ep)
+        k = jnp.stack(
+            [((shift >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
+        ).astype(ent.dtype)        # (Ep, D)
+        ent = ent.at[:, :D].add(-period * k)
     geom = ent.T                   # (NPARAM, Ep) lane-major
     return gid, tile, geom, Ep
 

@@ -178,9 +178,8 @@ def preprocess_grid(
     rho = jnp.where(alive, r_eff + jnp.max(r_eff), 0.0)
 
     E_cap = binning.entry_capacity(cfg, P, R)
-    ent_gid, ent_tile, ent_start, rect_of, ent_of = binning.duplicate_entries(
-        cfg, means, rho, R, E_cap
-    )
+    (ent_gid, ent_tile, ent_start, _ent_shift, rect_of,
+     ent_of) = binning.duplicate_entries(cfg, means, rho, R, E_cap)
     T = binning.num_tiles(cfg, D)
 
     # Packed per-entry parameters (one row gather, wide rows).

@@ -191,7 +191,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
                        bwd_block_n: int = 128, bwd_block_e: int = 256,
                        sorted_outputs: bool = False,
                        unique_outputs: bool = False,
-                       padded_outputs: bool = False):
+                       padded_outputs: bool = False,
+                       unwrapped: bool = False):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
@@ -255,23 +256,29 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     # columns to 128 in HBM).  All slicing / un-sorting / transposing to the
     # public shapes happens OUTSIDE, so f_bwd always receives the cotangent
     # already lane-major.
+    # With per-entry period-shifted means (prepare_entries) the kernels can
+    # drop the per-pair torus wrap when footprints are compact
+    # (cfg.unwrapped_kernels; exactness certified by the capacity planner).
+    kernel_period = None if unwrapped else period
+
     @jax.custom_vjp
     def f(m, v, c):
-        ent = ktiled.prepare_entries(state, m, v, c, align_e)
+        ent = ktiled.prepare_entries(state, m, v, c, align_e, period=period)
         return ktiled.tiled_forward(
-            orders, period, D, C, wl_f[:2], ent, smp,
+            orders, kernel_period, D, C, wl_f[:2], ent, smp,
             block_n=block_n, block_e=block_e,
         )                     # (K*C, Np); columns >= N are zero
 
     def f_fwd(m, v, c):
-        return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e)
+        return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e,
+                                                  period=period)
 
     def f_bwd(ent, g):
         # g arrives lane-major (K*C, Np); the backward's h matmuls also want
         # the (Np, K*C) orientation (in-kernel transposed-lhs dots measure
         # slower than one outside transpose).
         dent = ktiled.tiled_backward(
-            orders, period, D, C, wl_b[:2], ent, smp, g.T, g,
+            orders, kernel_period, D, C, wl_b[:2], ent, smp, g.T, g,
             block_n=bwd_block_n, block_e=bwd_block_e,
         )
         # Deterministic segment-sum of entry gradients by gaussian id
@@ -370,7 +377,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         fwd_geom, bwd_geom, cap_f, cap_b,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
         sorted_outputs=sorted_outputs, unique_outputs=unique_outputs,
-        padded_outputs=padded_outputs,
+        padded_outputs=padded_outputs, unwrapped=cfg.unwrapped_kernels,
     )
     diag = {
         # With sorted_outputs, output row r corresponds to samples[perm[r]].

@@ -72,6 +72,18 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
     bn, be = cfg.block_n, cfg.block_p
     bbn, bbe = cfg.bwd_blocks
 
+    # Compact-support certificate for the unwrapped (no per-pair torus wrap)
+    # kernels: every binned pair satisfies |mu' - x| < period/2 per axis iff
+    # max_radius + tile_size < period/2 (SamplerConfig.unwrapped_kernels).
+    safe_unwrapped = False
+    if cfg.period is not None:
+        from ..oracle.dense import radii as compute_radii
+
+        rmax = float(np.asarray(
+            compute_radii(covs, D, cfg.radius_sigma, cfg.eig_floor)
+        ).max(initial=0.0))
+        safe_unwrapped = (rmax + cfg.tile_size) < cfg.period / 2.0
+
     lib = _load()
     if lib is not None:
         out = (ctypes.c_int64 * 10)()
@@ -104,8 +116,11 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
                 # Flattened work-list totals for SamplerConfig.work_items_*.
                 "work_items_fwd": vals[8],
                 "work_items_bwd": vals[9],
+                "safe_unwrapped": safe_unwrapped,
             }
-    return _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe)
+    plan = _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe)
+    plan["safe_unwrapped"] = safe_unwrapped
+    return plan
 
 
 def _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe) -> dict:
@@ -159,6 +174,7 @@ def config_from_plan(cfg, plan: dict, P: int) -> "SamplerConfig":
         cfg, max_tiles_per_gaussian=R, entry_capacity_factor=factor,
         work_blocks_fwd=max(int(plan["work_blocks_fwd"]), 1),
         work_blocks_bwd=max(int(plan["work_blocks_bwd"]), 1),
+        unwrapped_kernels=bool(plan.get("safe_unwrapped", False)),
     )
     # Mirror binning/grid.py's static entry capacity.
     e_cap = min(max(int(-(-factor * P // 128)) * 128, 4096), P * R ** cfg.D)
