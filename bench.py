@@ -62,10 +62,18 @@ def main():
     # host_binning.cpp): sweep caps sized to the true per-block maxima, so
     # the kernel grid carries no predicated-off slack and overflow is 0 by
     # construction.
+    blocks = SamplerConfig()
     cfg = SamplerConfig(
         tile_size=tile,
         max_tiles_per_gaussian=int(os.environ.get("BENCH_R", 3)),
         eig_floor=float(os.environ.get("BENCH_EIG_FLOOR", 1e-12)),
+        block_n=int(os.environ.get("BENCH_BN", blocks.block_n)),
+        block_p=int(os.environ.get("BENCH_BP", blocks.block_p)),
+        # Very large per-chip sample counts need coarser backward sample
+        # blocks to keep the work list inside scalar SMEM.
+        block_n_bwd=int(os.environ.get(
+            "BENCH_BBN", 512 if N > 4_000_000 else blocks.bwd_blocks[0])),
+        block_p_bwd=int(os.environ.get("BENCH_BBP", blocks.bwd_blocks[1])),
     )
     plan = native.plan_capacities(cfg, field.means, field.covariances(),
                                   samples)
@@ -100,7 +108,11 @@ def main():
             )
         else:
             loss = sum(jnp.sum(o * o) for o in outs.values())
-        return loss, diag
+        # Mean over samples: keeps the dependency-carrying SGD touch's
+        # parameter drift scale-independent (a sum loss at 16M samples
+        # produces gradients large enough to move the means and break the
+        # planned capacities).
+        return loss / N, diag
 
     # One dispatch for the whole run: a lax.scan training loop (the standard
     # TPU production-loop shape - per-call dispatch over the tunneled device

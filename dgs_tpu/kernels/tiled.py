@@ -132,14 +132,22 @@ def work_list(base, nblk, colmax: int, cap: int):
     work).  Items are ordered by row block, so the kernel's output index map
     is monotone and Pallas accumulates in VMEM between flushes.
 
-    The per-item fields ride in TWO scalar-prefetch arrays (they live in the
-    1MB SMEM - four separate arrays overflow it at ~65k work items):
+    The kernels read the work list in one of two forms (their ``compressed``
+    flag): per-item (aux, col) arrays (fastest index maps: one scalar read
+    each), or - when the item count would overflow the 1MB scalar SMEM
+    (COMPRESS_ABOVE, hit around 130k items, e.g. a 16M-sample single-chip
+    shard) - per-item aux plus per-ROW (base, start) scalars with
+    col = clip(base[row] + (w - start[row])) derived in the index maps
+    (4 bytes per item instead of 8, at ~3% step cost).
 
-    Returns (aux, col, initialized, overflow):
+    Returns (aux, col, base_c, starts, initialized, overflow):
       aux      (cap,) int32 = row * 4 + first * 2 + compute, where ``row`` is
         the item's row-block index, ``first`` flags its row block's first
         item (-> zero-init the output block), ``compute`` flags real work
       col      (cap,) int32 column-block index per work item
+      base_c   (B,) int32 per-row first column block, pre-clipped so derived
+        cols stay in [0, colmax)
+      starts   (B,) int32 per-row first work-item index
       initialized (B,) bool per row block: its first item fit under ``cap``
         (rows of uninitialized blocks are garbage; callers must treat any
         overflow as invalid results)
@@ -167,10 +175,21 @@ def work_list(base, nblk, colmax: int, cap: int):
         base[row] + jnp.minimum(off, jnp.maximum(nblk[row] - 1, 0)),
         0, colmax - 1,
     ).astype(jnp.int32)
+    # Derived col = base_c[row] + (w - starts[row]) must stay in range even
+    # for padded / non-compute items: clip the base so base + nblk_eff - 1
+    # < colmax, and cap sentinel-tail offsets via the index maps' min.
+    base_c = jnp.clip(
+        base, 0, jnp.maximum(colmax - nblk_eff, 0)
+    ).astype(jnp.int32)
     initialized = starts < cap
     overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
     aux = row * 4 + first * 2 + compute
-    return aux, col, initialized, overflow
+    return aux, col, base_c, starts, initialized, overflow
+
+
+# Work-item count above which the kernels switch to the compressed
+# (per-row) work-list form to stay inside the ~1MB scalar SMEM.
+COMPRESS_ABOVE = 120_000
 
 
 def work_total(nblk) -> jnp.ndarray:
@@ -184,14 +203,14 @@ def work_total(nblk) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _wl_forward_kernel(orders, period, D, C,
-                       aux_ref, col_ref,
-                       geom_ref, ent_tile_ref,
-                       samples_ref, s_tile_ref, out_ref):
+def _wl_forward_kernel(orders, period, D, C, n_prefetch, *refs):
     """Pair arrays are (BP entries, BN samples): entries ride the sublanes so
     the outputs land lane-major (K*C, BN) - a (N, K*C) layout would pad its
     24 columns to 128 lanes in HBM (5x physical traffic on every read and
     write of the packed outputs/cotangents)."""
+    aux_ref = refs[0]
+    (geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
+     out_ref) = refs[n_prefetch:]
     w = pl.program_id(0)
     a_w = aux_ref[w]
 
@@ -242,34 +261,53 @@ def tiled_forward(
     whose work items overflowed the capacity are garbage - callers must
     treat any work-list overflow as invalid results.
     """
-    aux, col = wl
+    aux, col, base_c, starts = wl
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
     tri = tri_size(D)
     cap = aux.shape[0]
+    EB = Ep // block_e
+
+    if cap > COMPRESS_ABOVE:
+        nsp = 3
+        operands = (aux, base_c, starts)
+
+        def col_map(w, a, b, s):
+            r = a[w] >> 2
+            return (0, jnp.minimum(b[r] + (w - s[r]), EB - 1))
+
+        def row_map(w, a, b, s):
+            return (0, a[w] >> 2)
+    else:
+        nsp = 2
+        operands = (aux, col)
+
+        def col_map(w, a, c):
+            return (0, c[w])
+
+        def row_map(w, a, c):
+            return (0, a[w] >> 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=nsp,
         grid=(cap,),
         in_specs=[
-            pl.BlockSpec((NPARAM, block_e), lambda w, a, c: (0, c[w])),
-            pl.BlockSpec((1, block_e), lambda w, a, c: (0, c[w])),
-            pl.BlockSpec((D, block_n), lambda w, a, c: (0, a[w] >> 2)),
-            pl.BlockSpec((1, block_n), lambda w, a, c: (0, a[w] >> 2)),
+            pl.BlockSpec((NPARAM, block_e), col_map),
+            pl.BlockSpec((1, block_e), col_map),
+            pl.BlockSpec((D, block_n), row_map),
+            pl.BlockSpec((1, block_n), row_map),
         ],
-        out_specs=pl.BlockSpec(
-            (K * C, block_n), lambda w, a, c: (0, a[w] >> 2)
-        ),
+        out_specs=pl.BlockSpec((K * C, block_n), row_map),
     )
 
     return pl.pallas_call(
-        functools.partial(_wl_forward_kernel, orders, period, D, C),
+        functools.partial(_wl_forward_kernel, orders, period, D, C, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
-    )(aux, col, geom, ent_tile, s_sorted, s_tile)
+    )(*operands, geom, ent_tile, s_sorted, s_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -277,10 +315,10 @@ def tiled_forward(
 # ---------------------------------------------------------------------------
 
 
-def _wl_backward_kernel(orders, period, D, C,
-                        aux_ref, col_ref,
-                        geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
-                        ct_ref, ct_t_ref, dent_ref):
+def _wl_backward_kernel(orders, period, D, C, n_prefetch, *refs):
+    aux_ref = refs[0]
+    (geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
+     ct_ref, ct_t_ref, dent_ref) = refs[n_prefetch:]
     w = pl.program_id(0)
     tri = tri_size(D)
     a_w = aux_ref[w]
@@ -354,33 +392,61 @@ def tiled_backward(
     value rows.  The caller segment-sums by gaussian id (deterministic
     replacement for backward.cu's atomicAdd scatter); any work-list overflow
     means invalid results (callers check the diagnostics)."""
-    aux, col = wl
+    aux, col, base_c, starts = wl
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
     tri = tri_size(D)
     cap = aux.shape[0]
+    NB = Np // block_n
+
+    if cap > COMPRESS_ABOVE:
+        nsp = 3
+        operands = (aux, base_c, starts)
+
+        def _col(w, a, b, s):
+            r = a[w] >> 2
+            return jnp.minimum(b[r] + (w - s[r]), NB - 1)
+
+        def col_map0(w, a, b, s):
+            return (0, _col(w, a, b, s))
+
+        def col_map_r(w, a, b, s):
+            return (_col(w, a, b, s), 0)
+
+        def row_map(w, a, b, s):
+            return (0, a[w] >> 2)
+    else:
+        nsp = 2
+        operands = (aux, col)
+
+        def col_map0(w, a, c):
+            return (0, c[w])
+
+        def col_map_r(w, a, c):
+            return (c[w], 0)
+
+        def row_map(w, a, c):
+            return (0, a[w] >> 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=nsp,
         grid=(cap,),
         in_specs=[
-            pl.BlockSpec((NPARAM, block_e), lambda w, a, c: (0, a[w] >> 2)),
-            pl.BlockSpec((1, block_e), lambda w, a, c: (0, a[w] >> 2)),
-            pl.BlockSpec((D, block_n), lambda w, a, c: (0, c[w])),
-            pl.BlockSpec((1, block_n), lambda w, a, c: (0, c[w])),
-            pl.BlockSpec((block_n, K * C), lambda w, a, c: (c[w], 0)),
-            pl.BlockSpec((K * C, block_n), lambda w, a, c: (0, c[w])),
+            pl.BlockSpec((NPARAM, block_e), row_map),
+            pl.BlockSpec((1, block_e), row_map),
+            pl.BlockSpec((D, block_n), col_map0),
+            pl.BlockSpec((1, block_n), col_map0),
+            pl.BlockSpec((block_n, K * C), col_map_r),
+            pl.BlockSpec((K * C, block_n), col_map0),
         ],
-        out_specs=pl.BlockSpec(
-            (NPARAM, block_e), lambda w, a, c: (0, a[w] >> 2)
-        ),
+        out_specs=pl.BlockSpec((NPARAM, block_e), row_map),
     )
 
     return pl.pallas_call(
-        functools.partial(_wl_backward_kernel, orders, period, D, C),
+        functools.partial(_wl_backward_kernel, orders, period, D, C, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NPARAM, Ep), jnp.float32),
         interpret=_interpret(),
-    )(aux, col, geom, ent_tile, s_sorted, s_tile, ct, ct_t)
+    )(*operands, geom, ent_tile, s_sorted, s_tile, ct, ct_t)

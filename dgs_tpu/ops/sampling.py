@@ -265,7 +265,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     def f(m, v, c):
         ent = ktiled.prepare_entries(state, m, v, c, align_e, period=period)
         return ktiled.tiled_forward(
-            orders, kernel_period, D, C, wl_f[:2], ent, smp,
+            orders, kernel_period, D, C, wl_f[:4], ent, smp,
             block_n=block_n, block_e=block_e,
         )                     # (K*C, Np); columns >= N are zero
 
@@ -278,7 +278,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
         # the (Np, K*C) orientation (in-kernel transposed-lhs dots measure
         # slower than one outside transpose).
         dent = ktiled.tiled_backward(
-            orders, kernel_period, D, C, wl_b[:2], ent, smp, g.T, g,
+            orders, kernel_period, D, C, wl_b[:4], ent, smp, g.T, g,
             block_n=bwd_block_n, block_e=bwd_block_e,
         )
         # Deterministic segment-sum of entry gradients by gaussian id

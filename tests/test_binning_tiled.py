@@ -99,10 +99,16 @@ def test_work_list_flattening():
 
     base = jnp.asarray([2, 0, 5, 1], jnp.int32)
     nblk = jnp.asarray([3, 0, 2, 1], jnp.int32)
-    aux, col, initialized, overflow = ktiled.work_list(
+    aux, col, base_c, starts, initialized, overflow = ktiled.work_list(
         base, nblk, colmax=8, cap=10
     )
     row, first, compute = aux >> 2, (aux >> 1) & 1, aux & 1
+    # the compressed form must derive the same columns
+    w = jnp.arange(aux.shape[0], dtype=jnp.int32)
+    col_c = jnp.minimum(base_c[row] + (w - starts[row]), 8 - 1)
+    np.testing.assert_array_equal(
+        np.where(compute, col, 0), np.where(compute, col_c, 0)
+    )
     # expected items: rows with nblk=0 still emit one (non-compute) item
     want = [(0, 2, 1, 1), (0, 3, 0, 1), (0, 4, 0, 1),
             (1, 0, 1, 0),                      # empty row block: init only
