@@ -205,7 +205,7 @@ def main():
         bnn = _pad_axis(bnn, 0, EB_b)
         wl_f = ktiled.work_list(fb, fn, EB_f, cfg.work_items_fwd + NB_f)
         wl_b = ktiled.work_list(bb, bnn, NB_b, cfg.work_items_bwd + EB_b)
-        return smp, ent, wl_f[:4], wl_b[:4]
+        return smp, ent, wl_f[:2], wl_b[:2]
 
     con, cov = field.conics(), field.covariances()
     smp, ent, wl_f, wl_b = jax.block_until_ready(
