@@ -229,3 +229,31 @@ def test_padded_sorted_unique_outputs_and_sample_binning(rng):
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_backward_is_deterministic(rng):
+    """Two identical runs give BITWISE-equal gradients - the deterministic
+    segment-sum replaces CUDA's nondeterministic atomicAdd order
+    (backward.cu:121-152)."""
+    from dgs_tpu.models.field import init_field
+
+    P, N, D, C = 300, 1200, 2, 3
+    f = init_field(jax.random.PRNGKey(9), P, D, C, sigma=0.06)
+    s = jnp.asarray(make_samples(rng, N, D))
+    cfg = SamplerConfig(tile_size=0.25, max_tiles_per_gaussian=4,
+                        eig_floor=1e-12, entry_capacity_factor=30.0,
+                        work_blocks_fwd=32, work_blocks_bwd=64)
+    con, cov = f.conics(), f.covariances()
+
+    @jax.jit
+    def grads(m, v, c):
+        def loss(m_, v_, c_):
+            outs, _ = sampling.sample_binned(
+                cfg, m_, v_, c_, cov, s, ("value", "derivative", "laplacian"))
+            return sum(jnp.sum(o * o) for o in outs.values())
+        return jax.grad(loss, argnums=(0, 1, 2))(m, v, c)
+
+    g1 = jax.device_get(grads(f.means, f.values, con))
+    g2 = jax.device_get(grads(f.means, f.values, con))
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(a, b)
