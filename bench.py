@@ -73,7 +73,10 @@ def main():
         # blocks to keep the work list inside scalar SMEM.
         block_n_bwd=int(os.environ.get(
             "BENCH_BBN", 512 if N > 4_000_000 else blocks.bwd_blocks[0])),
-        block_p_bwd=int(os.environ.get("BENCH_BBP", blocks.bwd_blocks[1])),
+        # D=3 entries are ~3x denser per tile; wider backward entry blocks
+        # win there (on-chip sweep, tools/sweep_blocks.py SWEEP_D=3).
+        block_p_bwd=int(os.environ.get(
+            "BENCH_BBP", 256 if D == 3 else blocks.bwd_blocks[1])),
     )
     plan = native.plan_capacities(cfg, field.means, field.covariances(),
                                   samples)

@@ -27,13 +27,12 @@ block offsets are scalar-prefetched and pair validity is just
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..config import SamplerConfig, tri_size
+from ..config import SamplerConfig
 from ..oracle.dense import radii as compute_radii
 
 

@@ -30,17 +30,17 @@ its logical bandwidth on every read and write):
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import n_components, tri_size
+from ..config import tri_size
 from ..binning.grid import BinningState
 from ..ops import formulas
-from .dense import (_interpret, _pad_axis, _round_up, total_components)
+from .dense import _interpret, _pad_axis, _round_up
 
 
 def total_unique(orders, D: int) -> int:

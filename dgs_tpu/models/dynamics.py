@@ -19,8 +19,7 @@ JAX autodiff match the reference's hand-written backward).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

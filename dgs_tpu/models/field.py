@@ -19,7 +19,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import tri_index, tri_size
 
 
 class GaussianField(NamedTuple):

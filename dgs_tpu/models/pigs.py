@@ -14,8 +14,7 @@ loss = w_pde * mean((-tr H[u] - f)^2) + w_data * mean((u - u*)^2).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

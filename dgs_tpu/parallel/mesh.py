@@ -29,7 +29,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SamplerConfig
 from ..ops import sampling
-from ..models.field import GaussianField
 
 
 def make_mesh(shape: Optional[Tuple[int, int]] = None,

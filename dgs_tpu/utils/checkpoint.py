@@ -9,7 +9,7 @@ trips through Orbax.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

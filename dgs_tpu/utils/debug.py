@@ -8,7 +8,6 @@ exception (cpu_deep_copy_tuple + torch.save, __init__.py:17-19, 38-50).
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 import jax

@@ -15,7 +15,7 @@ import gzip
 import json
 import os
 from collections import defaultdict
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List
 
 import jax
 

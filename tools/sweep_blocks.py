@@ -24,11 +24,11 @@ from dgs_tpu.utils import native
 
 COMBOS = [
     # (block_n, block_p, block_n_bwd, block_p_bwd)
-    (512, 128, 256, 128),
-    (512, 128, 128, 128),
-    (512, 128, 512, 128),
-    (512, 128, 128, 256),
     (512, 128, 256, 256),
+    (512, 256, 256, 256),
+    (512, 128, 512, 256),
+    (512, 256, 256, 512),
+    (1024, 256, 256, 256),
 ]
 
 ORDERS = ("value", "derivative", "laplacian")
@@ -36,11 +36,12 @@ ORDERS = ("value", "derivative", "laplacian")
 
 def main():
     P = int(os.environ.get("SWEEP_P", 100_000))
+    D = int(os.environ.get("SWEEP_D", 2))
     N = int(os.environ.get("SWEEP_N", 1_000_000))
     steps = int(os.environ.get("SWEEP_STEPS", 8))
-    tile = float(os.environ.get("SWEEP_TILE", 0.051))
-    D, C = 2, 4
-    sigma = 2.0 / max(P, 1) ** 0.5
+    tile = float(os.environ.get("SWEEP_TILE", {2: 0.051, 3: 0.25}.get(D, 0.1)))
+    C = 4
+    sigma = 2.0 / max(P, 1) ** (1.0 / D)
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
