@@ -123,3 +123,37 @@ def test_profiling_trace_and_aggregation(tmp_path):
         jax.block_until_ready(f(jnp.arange(1024.0)))
     rows = profiling.device_op_times(d, top=5)
     assert isinstance(rows, list)
+
+
+def test_debug_named_errors():
+    """The debug-mode guardrails the reference lacks (it segfaults or
+    silently corrupts): named shape errors, named overflow errors, and a
+    FloatingPointError on non-finite inputs."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from dgs_tpu.config import SamplerConfig
+    from dgs_tpu.sampler import GaussianSampler
+    from dgs_tpu.models.field import init_field
+
+    f = init_field(jax.random.PRNGKey(0), 64, 2, 2, sigma=0.2)
+    cov, con = f.covariances(), f.conics()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 2),
+                           minval=-1, maxval=1)
+
+    # Wrong conic trailing dim -> named shape error.
+    s = GaussianSampler(debug=True)
+    with pytest.raises(ValueError, match="conics"):
+        s.preprocess(f.means, f.values, cov, con[:, :2], x)
+
+    # Undersized duplicate cap -> named overflow error (not silent drops).
+    s2 = GaussianSampler(
+        debug=True, config=SamplerConfig(max_tiles_per_gaussian=1)
+    )
+    with pytest.raises(ValueError, match="max_tiles_per_gaussian"):
+        s2.preprocess(f.means, f.values, cov, con, x)
+
+    # NaN input under debug -> FloatingPointError from the finite check.
+    bad = f.means.at[0, 0].set(jnp.nan)
+    with pytest.raises(FloatingPointError):
+        GaussianSampler(debug=True).preprocess(bad, f.values, cov, con, x)
