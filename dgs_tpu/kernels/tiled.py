@@ -20,11 +20,13 @@ its logical bandwidth on every read and write):
   * the forward writes one packed (K*C, Np) output (component-major rows) -
     its pair blocks are (entries, samples)-oriented so the output lands
     lane-major with no epilogue transpose;
-  * the backward consumes the cotangent in that same single orientation
-    (transposed-lhs dots recover the h matrices, backward.cu:122) and writes
-    per-entry gradients into one packed (D+tri+C, Ep) array which the caller
-    segment-sums by gaussian id - a deterministic replacement for the
-    reference's atomicAdd scatter (backward.cu:121-152).
+  * the backward consumes the cotangent in both orientations (the h matmuls
+    want (Np, K*C) rows, backward.cu:122; the value-gradient matmuls the
+    lane-major (K*C, Np) - one outside transpose beats in-kernel
+    transposed-lhs dots) and writes per-entry gradients into one packed
+    (D+tri+C, Ep) array which the caller segment-sums by gaussian id - a
+    deterministic replacement for the reference's atomicAdd scatter
+    (backward.cu:121-152).
 """
 
 from __future__ import annotations
