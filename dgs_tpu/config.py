@@ -57,6 +57,10 @@ class SamplerConfig:
 
     period: Optional[float] = 2.0
     lower: Tuple[float, ...] = (-1.0, -1.0)
+    # Upper corner for OPEN (non-periodic) domains; ignored when period is
+    # set (the reference is torus-only, config.h:19 - open domains are an
+    # extension).
+    upper_bounds: Optional[Tuple[float, ...]] = None
     tile_size: float = 0.51
     radius_sigma: float = 3.0
     # Numerical floor inside the eigenvalue solve for the footprint radius.
@@ -134,12 +138,21 @@ class SamplerConfig:
     def upper(self) -> Tuple[float, ...]:
         if self.period is not None:
             return tuple(l + self.period for l in self.lower)
-        raise ValueError("open-domain config requires explicit bounds")
+        if self.upper_bounds is not None:
+            return self.upper_bounds
+        raise ValueError(
+            "open-domain config (period=None) requires upper_bounds"
+        )
 
     def with_dims(self, D: int) -> "SamplerConfig":
         if self.D == D:
             return self
-        return dataclasses.replace(self, lower=tuple(self.lower[0] for _ in range(D)))
+        up = (tuple(self.upper_bounds[0] for _ in range(D))
+              if self.upper_bounds is not None else None)
+        return dataclasses.replace(
+            self, lower=tuple(self.lower[0] for _ in range(D)),
+            upper_bounds=up,
+        )
 
 
 # The four evaluation orders exposed by the reference

@@ -257,3 +257,47 @@ def test_backward_is_deterministic(rng):
     g2 = jax.device_get(grads(f.means, f.values, con))
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_open_domain_binned_matches_oracle(rng):
+    """Non-periodic (open) domain: clamped rects, no wrap - outputs and
+    gradients match the masked oracle (a capability extension; the
+    reference is torus-only, config.h:19)."""
+    from dgs_tpu.models.field import init_field
+
+    P, N, D, C = 300, 1500, 2, 3
+    f = init_field(jax.random.PRNGKey(0), P, D, C, sigma=0.06)
+    s = jnp.asarray(make_samples(rng, N, D))
+    cfg = SamplerConfig(period=None, lower=(-1.0, -1.0),
+                        upper_bounds=(1.0, 1.0), tile_size=0.25,
+                        max_tiles_per_gaussian=4, eig_floor=1e-12,
+                        entry_capacity_factor=30.0,
+                        work_blocks_fwd=32, work_blocks_bwd=64)
+    con, cov = f.conics(), f.covariances()
+    orders = ("value", "derivative", "laplacian")
+
+    def loss(m, v, c):
+        outs, diag = sampling.sample_binned(cfg, m, v, c, cov, s, orders)
+        return sum(jnp.sum(o * o) for o in outs.values()), diag
+
+    (l, diag), g = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(f.means, f.values, con)
+    for k in ("bin_overflow", "entry_overflow", "work_overflow_fwd",
+              "work_overflow_bwd"):
+        assert int(diag[k]) == 0, k
+    state = binning.build(cfg, f.means, cov, s)
+    mask = binning.pair_mask_dense(cfg, state, s, P)
+
+    def loss_ref(m, v, c):
+        return sum(
+            jnp.sum(oracle.evaluate(o, m, v, c, s, pair_mask=mask,
+                                    period=None) ** 2)
+            for o in orders
+        )
+
+    np.testing.assert_allclose(l, loss_ref(f.means, f.values, con), rtol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(f.means, f.values, con)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=1e-5 * max(1.0, float(np.abs(b).max()))
+        )
