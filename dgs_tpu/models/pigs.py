@@ -139,11 +139,12 @@ def pigs_loss(cfg: SamplerConfig, field: GaussianField, collocation,
     return loss, metrics
 
 
-def make_train_step(cfg: SamplerConfig, optimizer,
+def make_train_body(cfg: SamplerConfig, optimizer,
                     f_rhs: Callable, u_star: Callable,
                     *, n_collocation: int = 4096, method: str = "tiled",
                     w_pde: float = 1.0, w_data: float = 1.0):
-    """Jitted training step: sample collocation points, loss, adam update."""
+    """Un-jitted training step body (scan-compatible): sample collocation
+    points, loss, adam update."""
 
     def step(state: TrainState, key) -> Tuple[TrainState, Dict]:
         D = state.field.D
@@ -175,7 +176,13 @@ def make_train_step(cfg: SamplerConfig, optimizer,
         )
         return TrainState(field, opt_state, state.step + 1), metrics
 
-    return jax.jit(step)
+    return step
+
+
+def make_train_step(cfg: SamplerConfig, optimizer,
+                    f_rhs: Callable, u_star: Callable, **kw):
+    """Jitted single training step (see make_train_body)."""
+    return jax.jit(make_train_body(cfg, optimizer, f_rhs, u_star, **kw))
 
 
 def wrap_means(means, period):
@@ -188,27 +195,43 @@ def train(cfg: SamplerConfig, *, P: int = 1000, D: int = 2, C: int = 1,
           steps: int = 200, n_collocation: int = 4096,
           learning_rate: float = 3e-3, sigma: float = 0.1,
           method: str = "tiled", seed: int = 0,
-          log_every: int = 50, logger=None):
-    """Full training run; returns (state, history of metrics)."""
+          log_every: int = 50, logger=None, scan_chunk: int = 0):
+    """Full training run; returns (state, history of metrics).
+
+    ``scan_chunk`` > 1 runs that many steps per device program via lax.scan
+    (the production TPU loop shape - per-call dispatch costs ~20 ms on
+    tunneled devices); metrics are logged once per chunk (the chunk's last
+    step).  0 picks min(log_every, 32) automatically.
+    """
+    import functools
+
     u_star, f_rhs = manufactured_solution(D)
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     field = init_field(init_key, P, D, C, sigma=sigma)
     optimizer = optax.adam(learning_rate)
     state = TrainState(field, optimizer.init(field), jnp.zeros((), jnp.int32))
-    step_fn = make_train_step(
+    body = make_train_body(
         cfg, optimizer, f_rhs, u_star, n_collocation=n_collocation,
         method=method,
     )
+    chunk = scan_chunk if scan_chunk > 0 else max(min(log_every, 32), 1)
 
-    history = []
-    for i in range(steps):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(state, key, n):
+        keys = jax.random.split(key, n)
+        return jax.lax.scan(body, state, keys)
+
+    history, i = [], 0
+    while i < steps:
+        n = min(chunk, steps - i)
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, sub)
-        if i % log_every == 0 or i == steps - 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            m["step"] = i
-            history.append(m)
-            if logger is not None:
-                logger.log(m)
+        state, metrics_seq = run(state, sub, n)
+        metrics = jax.tree.map(lambda x: x[-1], metrics_seq)
+        i += n
+        m = {k: float(v) for k, v in metrics.items()}
+        m["step"] = i - 1
+        history.append(m)
+        if logger is not None:
+            logger.log(m)
     return state, history
