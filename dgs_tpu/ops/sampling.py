@@ -187,8 +187,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
                        means, values, conics, samples, state,
                        fwd_geom, bwd_geom,
                        fwd_work_items: int, bwd_work_items: int,
-                       *, block_n: int = 256, block_e: int = 512,
-                       bwd_block_n: int = 128, bwd_block_e: int = 256,
+                       *, block_n: int = 512, block_e: int = 128,
+                       bwd_block_n: int = 256, bwd_block_e: int = 128,
                        sorted_outputs: bool = False,
                        unique_outputs: bool = False,
                        padded_outputs: bool = False,
