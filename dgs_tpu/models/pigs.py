@@ -195,14 +195,20 @@ def train(cfg: SamplerConfig, *, P: int = 1000, D: int = 2, C: int = 1,
           steps: int = 200, n_collocation: int = 4096,
           learning_rate: float = 3e-3, sigma: float = 0.1,
           method: str = "tiled", seed: int = 0,
-          log_every: int = 50, logger=None, scan_chunk: int = 0):
+          log_every: int = 50, logger=None, scan_chunk: int = 0,
+          auto_capacities: bool = True):
     """Full training run; returns (state, history of metrics).
 
     ``scan_chunk`` > 1 runs that many steps per device program via lax.scan
     (the production TPU loop shape - per-call dispatch costs ~20 ms on
     tunneled devices); metrics are logged once per chunk (the chunk's last
     step).  0 picks min(log_every, 32) automatically.
+
+    ``auto_capacities`` (tiled method) sizes the binning capacities from the
+    initial parameters via the host planner, with 2x headroom for training
+    drift; watch the overflow metrics if scales grow a lot.
     """
+    import dataclasses
     import functools
 
     u_star, f_rhs = manufactured_solution(D)
@@ -211,6 +217,28 @@ def train(cfg: SamplerConfig, *, P: int = 1000, D: int = 2, C: int = 1,
     field = init_field(init_key, P, D, C, sigma=sigma)
     optimizer = optax.adam(learning_rate)
     state = TrainState(field, optimizer.init(field), jnp.zeros((), jnp.int32))
+    if method == "tiled" and auto_capacities:
+        # Size the static capacities from the initial parameters, with
+        # headroom for training drift (scales grow -> footprints grow;
+        # the per-step overflow metrics report if it is ever outgrown).
+        from ..utils import native
+
+        key, probe_key = jax.random.split(key)
+        probe = jax.random.uniform(
+            probe_key, (n_collocation, D), minval=-1.0, maxval=1.0
+        )
+        plan = native.plan_capacities(cfg, field.means, field.covariances(),
+                                      probe)
+        cfg = native.config_from_plan(cfg, plan, P)
+        cfg = dataclasses.replace(
+            cfg,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian + 1,
+            entry_capacity_factor=cfg.entry_capacity_factor * 2.0 + 1.0,
+            work_items_fwd=None, work_items_bwd=None,
+            work_blocks_fwd=max(int(plan["work_blocks_fwd"]) * 2, 8),
+            work_blocks_bwd=max(int(plan["work_blocks_bwd"]) * 2, 16),
+            unwrapped_kernels=False,  # drift can violate the certificate
+        )
     body = make_train_body(
         cfg, optimizer, f_rhs, u_star, n_collocation=n_collocation,
         method=method,
