@@ -95,7 +95,10 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
             ctypes.c_double(lower[0]), ctypes.c_double(lower[1]),
             ctypes.c_double(lower[2]),
             ctypes.c_double(cfg.tile_size),
-            ctypes.c_double(cfg.period if cfg.period else 0.0),
+            # The C planner takes the world extent here (wrap behavior is the
+            # separate flag); open domains pass upper - lower.
+            ctypes.c_double(cfg.period if cfg.period is not None
+                            else cfg.upper[0] - cfg.lower[0]),
             ctypes.c_int32(1 if cfg.period is not None else 0),
             ctypes.c_double(cfg.radius_sigma), ctypes.c_double(cfg.eig_floor),
             ctypes.c_int32(bn), ctypes.c_int32(be),
@@ -125,17 +128,35 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
 
 def _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe) -> dict:
     """Pure-numpy fallback with identical semantics (slower)."""
+    import dataclasses
+
     import jax
+    import jax.numpy as jnp
 
     from ..binning import grid as binning
 
+    # Count with an untruncated entry list - the PLAN must report true
+    # totals, not totals clipped to the (yet-to-be-planned) capacity.
+    R = cfg.max_tiles_per_gaussian
+    cfg = dataclasses.replace(cfg, entry_capacity_factor=float(R ** cfg.D))
     with jax.default_device(jax.devices("cpu")[0]):
         state = binning.build(cfg, means, covs, smps)
-        fb, fn = binning.forward_geometry(state, bn, be)
-        bb, bnn = binning.backward_geometry(state, bbe, bbn)
         ent_tile = np.asarray(state.ent_tile[0])
         T = binning.num_tiles(cfg, means.shape[1])
         valid = ent_tile < T
+        # The sweep geometry must reflect the planned (compact) entry list,
+        # not the untruncated sentinel tail: slice it to the valid entries
+        # rounded up one block, like the runtime capacity will be.
+        n_valid = int(valid.sum())
+        e_keep = max(-(-max(n_valid, 1) // bbe) * bbe, bbe)
+        state = state._replace(
+            ent_tile=state.ent_tile[:, :e_keep],
+            ent_gid=state.ent_gid[:e_keep],
+            ent_shift=state.ent_shift[:e_keep],
+            ent_start=jnp.minimum(state.ent_start, e_keep),
+        )
+        fb, fn = binning.forward_geometry(state, bn, be)
+        bb, bnn = binning.backward_geometry(state, bbe, bbn)
         tiles, counts = np.unique(ent_tile[valid], return_counts=True)
         s_t = np.asarray(binning.sample_tiles(cfg, smps))
         _, s_counts = np.unique(s_t, return_counts=True)

@@ -75,3 +75,30 @@ def test_max_collisions_matches_reference(rng):
         cfg, jnp.asarray(means), jnp.asarray(rad)
     )
     assert got == want
+
+
+def test_planner_cpp_matches_numpy_both_domains(rng):
+    """The C++ planner and the numpy fallback must agree exactly, for the
+    periodic torus AND the open domain (regressions: the C planner received
+    period=0 as the open-domain world extent; the fallback counted entries
+    truncated to the unplanned capacity)."""
+    import jax
+
+    from dgs_tpu.models.field import init_field
+    from dgs_tpu.utils import native
+
+    f = init_field(jax.random.PRNGKey(0), 500, 2, 2, sigma=0.05)
+    x = jnp.asarray(make_samples(rng, 2000, 2))
+    for period, ub in ((None, (1.0, 1.0)), (2.0, None)):
+        cfg = SamplerConfig(period=period, lower=(-1.0, -1.0),
+                            upper_bounds=ub, tile_size=0.2, eig_floor=1e-12,
+                            max_tiles_per_gaussian=8)
+        plan_c = native.plan_capacities(cfg, f.means, f.covariances(), x)
+        plan_np = native._plan_capacities_numpy(
+            cfg.with_dims(2), jnp.asarray(f.means),
+            jnp.asarray(f.covariances()), x,
+            cfg.block_n, cfg.block_p, *cfg.bwd_blocks)
+        for k in ("entries", "max_extent", "max_tile_entries",
+                  "work_items_fwd", "work_items_bwd", "culled",
+                  "occupied_tiles"):
+            assert plan_c[k] == plan_np[k], (period, k, plan_c[k], plan_np[k])
