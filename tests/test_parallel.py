@@ -182,3 +182,34 @@ def test_model_sharded_step_learns_tiled():
         if first is None:
             first = float(metrics["loss"])
     assert float(metrics["loss"]) < first
+
+
+def test_sharded_step_compiles_collectives():
+    """The compiled sharded programs must contain real collectives: the
+    replicated step's gradient all-reduce, and the model-sharded step's
+    partial-mixture psum (both ride ICI on hardware)."""
+    mesh = pmesh.make_mesh((4, 2))
+    cfg = SamplerConfig()
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(0), 64, 2, 1, sigma=0.25)
+    opt = optax.adam(1e-2)
+
+    step = pmesh.make_sharded_pigs_step(
+        cfg, mesh, opt, f_rhs, u_star, n_collocation=256, method="dense"
+    )
+    state = pmesh.replicate(
+        pigs.TrainState(field, opt.init(field), jnp.zeros((), jnp.int32)),
+        mesh,
+    )
+    txt = step.lower(state, jax.random.PRNGKey(1)).compile().as_text()
+    assert "all-reduce" in txt
+
+    step_m, shard_field = pmesh.make_model_sharded_pigs_step(
+        cfg, mesh, opt, f_rhs, u_star, n_collocation=256, method="dense"
+    )
+    state_m = pigs.TrainState(
+        shard_field(field), shard_field(opt.init(field)),
+        jnp.zeros((), jnp.int32),
+    )
+    txt_m = step_m.lower(state_m, jax.random.PRNGKey(1)).compile().as_text()
+    assert "all-reduce" in txt_m
