@@ -12,8 +12,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
-
 # Packed upper-triangular size for a symmetric DxD matrix
 # (reference stores covariances/conics this way: sample_points.cu:167).
 def tri_size(D: int) -> int:
@@ -48,11 +46,10 @@ class SamplerConfig:
       max_tiles_per_gaussian: Static cap on the per-Gaussian tile footprint per
         axis (replaces the reference's dynamic ``num_rendered``,
         sampler_impl.cu:256-257, with a static capacity).
-      tile_gaussian_capacity / tile_sample_capacity: Static per-tile table
-        capacities for the padded binning structure (the TPU equivalent of the
-        sorted ranges, sampler_impl.cu:286-292). Overflow is counted and
-        reported, never silently wrong.
-      dtype: Evaluation dtype. The reference is fp32 (config.h:20).
+
+    Evaluation dtype is fp32 throughout, matching the reference
+    (config.h:20); overflow in any static capacity is counted and reported,
+    never silently wrong.
     """
 
     period: Optional[float] = 2.0
@@ -75,9 +72,6 @@ class SamplerConfig:
     # sparse footprints don't pay for the worst case.  Valid entries beyond
     # the capacity are counted in the overflow diagnostic.
     entry_capacity_factor: float = 4.0
-    tile_gaussian_capacity: int = 1024
-    tile_sample_capacity: int = 1024
-    dtype: str = "float32"
     # Evaluate pairs from per-entry period-shifted means with NO per-pair
     # torus wrap.  Exact iff every footprint is compact:
     # max_radius + tile_size < period / 2 per axis (the planner certifies
@@ -105,10 +99,6 @@ class SamplerConfig:
     work_items_bwd: Optional[int] = None
     work_blocks_fwd: int = 8
     work_blocks_bwd: int = 16
-
-    @property
-    def jnp_dtype(self):
-        return jnp.dtype(self.dtype)
 
     @property
     def bwd_blocks(self):

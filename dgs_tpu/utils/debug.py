@@ -34,8 +34,8 @@ def snapshot_call(debug: bool, name: str, fn, *args: Any, **kwargs: Any):
         path = f"snapshot_{name}.npz"
         np.savez(path, **{f"arg{i}": a for i, a in enumerate(host_args)})
         print(
-            f"\nAn error occured in {name}. "
-            f"Please forward {path} for debugging."
+            f"\n{name} failed; inputs saved to {path} "
+            f"(attach it when reporting the crash)."
         )
         raise
 
