@@ -36,7 +36,7 @@ only widens the neighbor candidate set the reference intended.)
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -354,3 +354,275 @@ def aggregate(
         (coeff * embedding).sum(axis=1, keepdims=True)
     )
     return jnp.einsum("pj,jk->pk", pre, transform)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-kernel path (kernels/aggregate.py): nothing per-pair through HBM
+# ---------------------------------------------------------------------------
+
+
+class AggBinning(NamedTuple):
+    """Acceleration structure + static geometry for the Pallas aggregation
+    path (the analogue of the reference's preprocess_aggregate products,
+    aggregate_neighbors.cu:347-364, in tile-binned form).
+
+    All per-pair quantities (offsets, densities, attention weights,
+    sinusoidal codes) are recomputed in VMEM by the kernels; this carries
+    only the tile-sorted entry list, the tile-sorted center order, the
+    packed static geometry (including the per-center inverse total density
+    from the totals kernel), and the work lists of both sweep orientations.
+    """
+
+    ent_gid: jnp.ndarray     # (Ep,) int32, P = sentinel
+    ent_tile: jnp.ndarray    # (1, Ep) int32, T = sentinel
+    ent_geo: jnp.ndarray     # (D+tri+1, Ep) shifted means, conics, r_eff
+    ctr_static: jnp.ndarray  # (D+3, Np) sorted means, r_eff, inv_norm, inv_tot
+    ctr_tile: jnp.ndarray    # (1, Np) int32, sentinel-padded
+    s_perm: jnp.ndarray      # (P,) original center id by sorted position
+    inv_perm: jnp.ndarray    # (P,) sorted position of each original center
+    wl_fwd: Tuple[jnp.ndarray, jnp.ndarray]  # center-major (aux, col)
+    wl_bwd: Tuple[jnp.ndarray, jnp.ndarray]  # entry-major (aux, col)
+    overflow: jnp.ndarray    # () int32: rect + entry + work-list overflow
+
+
+def plan_pallas(cfg: SamplerConfig, means, radii, *, block_n: int = 256,
+                block_e: int = 256, auto_tile: bool = True):
+    """Host-side capacity plan for preprocess_pallas.
+
+    Returns (cfg', rect_capacity, entry_capacity, work_fwd, work_bwd):
+    a config whose tile size matches the 0.2-shrunk collision radii (the
+    sampler's 3-sigma grid is usually far coarser) and exact static
+    capacities measured from one eager geometry build.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ..binning import grid as binning
+    from ..kernels import tiled as ktiled
+    from ..kernels.dense import _round_up
+
+    P, D = means.shape
+    cfg = cfg.with_dims(D)
+    r = np.asarray(jax.device_get(radii)) * 0.2
+    alive = r >= 1e-6
+    r_eff = np.where(alive, r, 0.0)
+    rho = np.where(alive, r_eff + r_eff.max(initial=0.0), 0.0)
+    rho_max = float(rho.max(initial=0.0))
+    if auto_tile and rho_max > 0.0:
+        extent = (cfg.period if cfg.period is not None
+                  else min(u - l for l, u in zip(cfg.lower, cfg.upper)))
+        tile = max(2.0 * rho_max, extent / 512.0)
+        if tile < cfg.tile_size:
+            cfg = dataclasses.replace(cfg, tile_size=tile)
+    R = min(
+        int(np.ceil(2.0 * rho_max / cfg.tile_size)) + 2,
+        max(cfg.grid_shape()),
+    )
+    ent = binning.duplicate_entries(
+        cfg, jnp.asarray(means), jnp.asarray(rho), R, P * R ** D
+    )
+    T = binning.num_tiles(cfg, D)
+    n_entries = int(jax.device_get(jnp.sum(ent[1] < T)))
+    E_cap = _round_up(max(n_entries, block_e), block_e)
+    Np = _round_up(P, block_n)
+
+    ent_tile = ent[1][:E_cap]
+    # Work totals from the real geometries at these block sizes.
+    sb = binning.bin_samples(cfg, jnp.asarray(means))
+    fwd_geom = binning._range_geometry(
+        sb.s_tile[0], block_n, ent[2], block_e, P
+    )
+    bwd_geom = binning._range_geometry(
+        ent_tile, block_e, sb.s_start, block_n, E_cap
+    )
+    work_fwd = int(jax.device_get(ktiled.work_total(fwd_geom[1])))
+    work_bwd = int(jax.device_get(ktiled.work_total(bwd_geom[1])))
+    return cfg, R, E_cap, work_fwd, work_bwd
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9),
+    static_argnames=("rect_capacity", "entry_capacity", "work_fwd",
+                     "work_bwd", "block_n", "block_e"))
+def preprocess_pallas(
+    cfg: SamplerConfig,
+    means: jnp.ndarray,   # (P, D)
+    conics: jnp.ndarray,  # (P, tri)
+    radii: jnp.ndarray,   # (P,)
+    rect_capacity: int,
+    entry_capacity: int,
+    work_fwd: int,
+    work_bwd: int,
+    block_n: int = 256,
+    block_e: int = 256,
+) -> AggBinning:
+    """Build the Pallas aggregation structure (jit-compatible, static caps
+    from plan_pallas).  Replaces findCollisions + preprocess
+    (aggregate_neighbors.cu:18-127): tile-binned candidate sweeps instead of
+    the O(P^2) matrix, and the per-center total density from one cheap
+    Pallas pair sweep instead of materialized CSR density arrays.
+    """
+    from ..binning import grid as binning
+    from ..kernels import aggregate as kagg
+    from ..kernels import tiled as ktiled
+    from ..kernels.dense import _pad_axis, _round_up
+
+    P, D = means.shape
+    tri = tri_size(D)
+    cfg = cfg.with_dims(D)
+    R = rect_capacity
+
+    r = radii * 0.2
+    alive = r >= 1e-6
+    r_eff = jnp.where(alive, r, 0.0)
+    rho = jnp.where(alive, r_eff + jnp.max(r_eff), 0.0)
+
+    E_cap = _round_up(max(entry_capacity, block_e), block_e)
+    (ent_gid, ent_tile, ent_start, ent_shift, rect_of,
+     ent_of) = binning.duplicate_entries(cfg, means, rho, R, E_cap)
+    T = binning.num_tiles(cfg, D)
+
+    # Static entry geometry: shifted means, conics, r_eff (one row gather).
+    geo = jnp.concatenate([means, conics, r_eff[:, None]], axis=1)
+    geo = jnp.concatenate([geo, jnp.zeros((1, geo.shape[1]), geo.dtype)], 0)
+    ent = geo[ent_gid]                        # (E_cap, D+tri+1)
+    if cfg.period is not None:
+        k = jnp.stack(
+            [((ent_shift >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
+        ).astype(ent.dtype)
+        ent = ent.at[:, :D].add(-cfg.period * k)
+    ent_geo = ent.T                           # (D+tri+1, E_cap)
+
+    # Tile-sorted centers (the sample side of the binning, reused verbatim).
+    sb = binning.bin_samples(cfg, means)
+    Np = _round_up(P, block_n)
+    ctr_tile = _pad_axis(sb.s_tile, 1, Np)
+    ctr_tile = jnp.where(jnp.arange(Np)[None, :] >= P,
+                         jnp.int32(2**30 + 1), ctr_tile)
+    mu_sorted = _pad_axis(sb.s_sorted, 1, Np)           # (D, Np)
+    r_eff_sorted = _pad_axis(r_eff[sb.s_perm][None, :], 1, Np)
+    inv_norm = 1.0 / (radii * 0.333 + 1e-6)
+    inv_norm_sorted = _pad_axis(inv_norm[sb.s_perm][None, :], 1, Np)
+    ctr_pre = jnp.concatenate(
+        [mu_sorted, r_eff_sorted, inv_norm_sorted,
+         jnp.ones((1, Np), jnp.float32)], axis=0
+    )                                                    # (D+3, Np)
+
+    # Work lists for both sweep orientations.
+    NB, EB = Np // block_n, E_cap // block_e
+    fwd_geom = binning._range_geometry(sb.s_tile[0], block_n, ent_start,
+                                       block_e, P)
+    bwd_geom = binning._range_geometry(ent_tile, block_e, sb.s_start,
+                                       block_n, E_cap)
+    wl_f = ktiled.work_list(fwd_geom[0], fwd_geom[1], EB, work_fwd)
+    wl_b = ktiled.work_list(bwd_geom[0], bwd_geom[1], NB, work_bwd)
+
+    # Per-center total density -> inv_total (aggregate_neighbors.cu:120-125).
+    tot = kagg.totals(
+        D, cfg.period, wl_f[:2], ent_geo, ent_tile[None, :], ctr_pre,
+        ctr_tile, block_n=block_n, block_e=block_e,
+    )
+    inv_tot = 1.0 / (tot + 1e-6)
+    ctr_static = jnp.concatenate([ctr_pre[:-1], inv_tot], axis=0)
+
+    inv_perm = jnp.zeros((P,), jnp.int32).at[sb.s_perm].set(
+        jnp.arange(P, dtype=jnp.int32)
+    )
+    overflow = (rect_of + ent_of + wl_f[5] + wl_b[5]).astype(jnp.int32)
+    return AggBinning(
+        ent_gid=ent_gid, ent_tile=ent_tile[None, :], ent_geo=ent_geo,
+        ctr_static=ctr_static, ctr_tile=ctr_tile, s_perm=sb.s_perm,
+        inv_perm=inv_perm, wl_fwd=wl_f[:2], wl_bwd=wl_b[:2],
+        overflow=overflow,
+    )
+
+
+def aggregate_pallas(
+    features: jnp.ndarray,            # (P, L)
+    transform: jnp.ndarray,           # (L, L)
+    queries: jnp.ndarray,             # (P, K)
+    keys: jnp.ndarray,                # (P, K)
+    frequencies: jnp.ndarray,         # (nfreq,) or longer
+    distance_transform: jnp.ndarray,  # (2E,)
+    agg: AggBinning,
+    *, period: Optional[float] = 2.0,
+    block_n: int = 256, block_e: int = 256,
+) -> jnp.ndarray:
+    """Forward aggregation through the Pallas kernels; differentiable in all
+    six parameter groups (the reference's contract,
+    aggregate_neighbors.cu:417-475), with hand-wired VJPs for five of them
+    and the linear LxL transform chained outside by autodiff.
+
+    Numerically equal to ``aggregate`` over an exact (untruncated) neighbor
+    table - the kernels enumerate every colliding pair, so there is no
+    neighbor_capacity to overflow (agg.overflow reports binning/work-list
+    overflow instead)."""
+    from ..kernels import aggregate as kagg
+    from ..kernels.dense import _pad_axis
+
+    P, L = features.shape
+    K = queries.shape[1]
+    D = agg.ctr_static.shape[0] - 3
+    E = distance_transform.shape[0] // 2
+    nfreq = (E - 1) // D // 2
+    Np = agg.ctr_static.shape[1]
+
+    @jax.custom_vjp
+    def raw_pre(features, queries, keys, frequencies, distance_transform):
+        ent_fk, _, ctr_geo, dtf = _gather(
+            features, queries, keys, frequencies, distance_transform)
+        return kagg.forward(
+            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
+            agg.ent_tile, ent_fk, ctr_geo, agg.ctr_tile, dtf,
+            block_n=block_n, block_e=block_e,
+        )
+
+    def _gather(features, queries, keys, frequencies, distance_transform):
+        fk = jnp.concatenate([features, keys], axis=1)
+        fk = jnp.concatenate([fk, jnp.zeros((1, L + K), fk.dtype)], 0)
+        ent_fk_rows = fk[agg.ent_gid]                   # (Ep, L+K)
+        ent_fk = ent_fk_rows.T
+        q = queries[agg.s_perm].T                       # (K, P)
+        q = _pad_axis(q, 1, Np)
+        ctr_geo = jnp.concatenate([agg.ctr_static, q], axis=0)
+        dtf = jnp.concatenate(
+            [distance_transform, frequencies[:nfreq]])[None, :]
+        return ent_fk, ent_fk_rows[:, :L], ctr_geo, dtf
+
+    def raw_pre_fwd(features, queries, keys, frequencies, distance_transform):
+        return (raw_pre(features, queries, keys, frequencies,
+                        distance_transform),
+                (features, queries, keys, frequencies, distance_transform))
+
+    def raw_pre_bwd(res, g):
+        features, queries, keys, frequencies, distance_transform = res
+        ent_fk, ent_f_rows, ctr_geo, dtf = _gather(
+            features, queries, keys, frequencies, distance_transform)
+        # Every center's contribution is linear in its inv_total: fold it
+        # into the cotangent so the backward kernels never touch it.
+        g = g * agg.ctr_static[D + 2, :][None, :]       # (L, Np)
+        gsum = jnp.sum(g, axis=0, keepdims=True)
+        dent = kagg.bwd_entries(
+            D, L, K, nfreq, period, agg.wl_bwd, agg.ent_geo,
+            agg.ent_tile, ent_fk, ctr_geo, agg.ctr_tile, dtf,
+            g.T, g, gsum, block_n=block_n, block_e=block_e,
+        )
+        d = jax.ops.segment_sum(dent.T, agg.ent_gid, num_segments=P + 1)[:P]
+        ctr_out = kagg.bwd_centers(
+            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
+            agg.ent_tile, ent_fk, ent_f_rows, ctr_geo, agg.ctr_tile, dtf,
+            g, gsum, block_n=block_n, block_e=block_e,
+        )
+        dq = ctr_out[:K, :].T[:P][agg.inv_perm]         # unsort (P, K)
+        ddt = jnp.sum(ctr_out[K:K + 2 * E, :], axis=1)
+        dfreq = jnp.zeros_like(frequencies).at[:nfreq].set(
+            jnp.sum(ctr_out[K + 2 * E:, :], axis=1)
+        )
+        return d[:, :L], dq, d[:, L:], dfreq, ddt
+
+    raw_pre.defvjp(raw_pre_fwd, raw_pre_bwd)
+
+    pre = raw_pre(features, queries, keys, frequencies, distance_transform)
+    out_sorted = jnp.einsum("lp,lk->pk", pre, transform)  # (Np, K=L)
+    return out_sorted[:P][agg.inv_perm]

@@ -6,7 +6,8 @@ table) and through aggregate + grad over all six parameter groups, at a
 PIGS-dynamics-like operating point.  Prints one JSON line per phase.
 
 Env: AGG_P, AGG_L (feature channels), AGG_K (query/key dim), AGG_NFREQ,
-AGG_STEPS, AGG_SIGMA.
+AGG_STEPS, AGG_SIGMA, AGG_METHOD (xla | pallas), AGG_BN/AGG_BE (pallas
+blocks).
 """
 
 import functools
@@ -53,12 +54,20 @@ def main():
         cov = field.covariances()
         con = field.conics()
 
+    method = os.environ.get("AGG_METHOD", "pallas")
     cfg = SamplerConfig(tile_size=float(os.environ.get("AGG_TILE", 0.051)),
                         eig_floor=1e-12)
     rad_host = compute_radii(cov, D, cfg.radius_sigma, cfg.eig_floor)
-    cfg, NC, rect = aggregation.suggest_grid_capacities(
-        cfg, field.means, rad_host
-    )
+    bn = int(os.environ.get("AGG_BN", 256))
+    be = int(os.environ.get("AGG_BE", 256))
+    if method == "pallas":
+        cfg, R, E_cap, wf, wb = aggregation.plan_pallas(
+            cfg, field.means, rad_host, block_n=bn, block_e=be)
+        NC = -1
+    else:
+        cfg, NC, rect = aggregation.suggest_grid_capacities(
+            cfg, field.means, rad_host
+        )
 
     dev = jax.devices()[0]
     means = jax.device_put(field.means, dev)
@@ -66,17 +75,27 @@ def main():
     rad = jax.device_put(rad_host, dev)
     params = jax.device_put(params, dev)
 
-    pre = functools.partial(
-        aggregation.preprocess_grid, cfg,
-        neighbor_capacity=NC, rect_capacity=rect,
-    )
+    if method == "pallas":
+        pre = functools.partial(
+            aggregation.preprocess_pallas, cfg,
+            rect_capacity=R, entry_capacity=E_cap,
+            work_fwd=wf, work_bwd=wb, block_n=bn, block_e=be,
+        )
+    else:
+        pre = functools.partial(
+            aggregation.preprocess_grid, cfg,
+            neighbor_capacity=NC, rect_capacity=rect,
+        )
 
     @jax.jit
     def preprocess_n(means, con, rad, n):
         def body(m, _):
             nbr = pre(m, con, rad)
             # dependency: nudge means by a tiny function of the table
-            m = m + 1e-12 * nbr.inv_total_densities[:, None]
+            dep = (nbr.ctr_static[-1, :m.shape[0], None]
+                   if method == "pallas"
+                   else nbr.inv_total_densities[:, None])
+            m = m + 1e-12 * dep
             return m, nbr.overflow
         return jax.lax.scan(body, means, None, length=steps)
 
@@ -90,8 +109,12 @@ def main():
     nbr = jax.jit(pre)(means, con, rad)
     jax.block_until_ready(nbr)
 
+    agg_fn = (functools.partial(aggregation.aggregate_pallas,
+                                period=cfg.period, block_n=bn, block_e=be)
+              if method == "pallas" else aggregation.aggregate)
+
     def loss(p, nbr):
-        out = aggregation.aggregate(
+        out = agg_fn(
             p["features"], p["transform"], p["queries"], p["keys"],
             p["frequencies"], p["distance_transform"], nbr,
         )
@@ -126,7 +149,7 @@ def main():
         "value": round(P / dt_fb, 1),
         "unit": "gaussians/s",
         "step_s": round(dt_fb, 5),
-        "P": P, "L": L, "K": K, "nfreq": nfreq,
+        "P": P, "L": L, "K": K, "nfreq": nfreq, "method": method,
         "backend": jax.default_backend(),
     }))
 
