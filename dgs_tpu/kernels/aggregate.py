@@ -4,23 +4,29 @@ TPU-native replacement for the CUDA aggregation kernels
 (/root/reference/aggregate_neighbors.cu): findCollisions (18-55) +
 preprocess (57-127) become a tile-binned pair sweep that computes the
 per-center total density (``totals``); aggregateNeighbors (129-208) becomes
-a center-major work-list kernel (``forward``); aggregateNeighborsBackward
-(210-321) becomes two kernels - entry-major for the per-neighbor gradients
-(features, keys) and center-major for the per-center / global ones (queries,
-distance_transform, frequencies).  Per-entry gradient rows are segment-summed
-by gaussian id outside (deterministic, unlike the reference's atomicAdd
-storm); the LxL transform and its gradient are single XLA matmuls outside
-(exact: the transform is linear and applied per center).
+the center-chunk work-list kernel (``forward``); aggregateNeighborsBackward
+(210-321) becomes two kernels - entry-chunk-major for the per-neighbor
+gradients (features, keys) and center-chunk-major for the per-center /
+global ones (queries, distance_transform, frequencies).  Per-entry gradient
+rows are segment-summed by gaussian id outside (deterministic, unlike the
+reference's atomicAdd storm); the LxL transform and its gradient are single
+XLA matmuls outside (exact: the transform is linear and applied per center).
 
 Nothing per-pair is materialized through HBM: offsets, densities, attention
 weights and the sinusoidal codes are recomputed in VMEM in each direction
-(the XLA stand-in materialized (P, NC, .) neighbor tables plus their autodiff
-residuals - that traffic was the entire aggregation bottleneck).
+(the XLA stand-in materialized (P, NC, .) neighbor tables plus their
+autodiff residuals - that traffic was the entire aggregation bottleneck).
 
-Orientation mirrors kernels/tiled.py: the output's axis rides the lanes
-(center-major kernels emit (rows, Np); the entry-major kernel emits
-(rows, Ep)), all geometry is packed lane-major, and the work-list grid runs
-one step per real (row-block, col-block) pair.
+All kernels share ONE pair-block orientation: centers ride the SUBLANES
+(chunks of ``block_n``, default 16-32), entries ride the LANES (chunks of
+``block_e`` = 128).  Both sides are padded per tile (binning/chunked.py) so
+every work item is a same-tile (center-chunk x entry-chunk) pair - the
+measured same-tile pair density is ~50-60% versus ~9% for range-overlap
+block pairing at this workload's ~100 entries / ~30 centers per tile.  The
+asymmetric chunk shape matches that occupancy ratio.  Because items are
+same-tile by construction and pad slots gather the zero sentinel row
+(radius 0), no per-pair tile comparison is needed - the alive-radius mask
+alone is exact.
 
 Semantics replicated exactly (same as ops/aggregation.py, which is pinned to
 a numpy replica of the CUDA kernels in tests/test_aggregation.py):
@@ -51,13 +57,13 @@ from ..config import tri_size
 from ..ops import formulas
 from .dense import _interpret
 
-# Packed per-center geometry rows: mean (D), then r_eff / inv_norm /
-# inv_tot, then the K query rows (the scalar tail sits before the queries so
-# the totals kernel - which runs before queries exist - shares the layout).
-R_REFF, R_INVNORM, R_INVTOT = 0, 1, 2
+# Center-geometry column layout: mean (D), then r_eff / inv_norm / inv_tot,
+# then the K query columns (the scalar tail sits before the queries so the
+# totals kernel - which runs before queries exist - shares the layout).
+C_REFF, C_INVNORM, C_INVTOT = 0, 1, 2
 
 
-def ctr_rows(D: int, K: int) -> int:
+def ctr_cols(D: int, K: int) -> int:
     return D + 3 + K
 
 
@@ -67,35 +73,23 @@ def ent_geo_rows(D: int) -> int:
     return D + tri_size(D) + 1
 
 
-def _pair(D, period, ent_ref, ctr_ref, ent_tile_ref, ctr_tile_ref,
-          orient: str):
+def _pair(D, period, ent_ref, ctr_ref):
     """Shared per-pair quantities: wrapped offsets X = mu_entry - mu_center
-    and the density G zeroed outside the collision mask.
-
-    orient="pn": entries ride the sublanes -> (BP, BN) arrays;
-    orient="np": entries ride the lanes    -> (BN, BP) arrays.
-    """
+    and the density G zeroed outside the collision mask.  Centers ride the
+    sublanes, entries the lanes: all pair arrays are (Bc, Be).  Work items
+    pair same-tile chunks only, and pad slots carry the zero sentinel row
+    (radius 0), so the alive-radius + distance mask is exact."""
     tri = tri_size(D)
-    if orient == "pn":
-        e = lambda row: ent_ref[row, :][:, None]
-        c = lambda row: ctr_ref[row, :][None, :]
-        e_t = ent_tile_ref[0, :][:, None]
-        c_t = ctr_tile_ref[0, :][None, :]
-    else:
-        e = lambda row: ent_ref[row, :][None, :]
-        c = lambda row: ctr_ref[row, :][:, None]
-        e_t = ent_tile_ref[0, :][None, :]
-        c_t = ctr_tile_ref[0, :][:, None]
+    e = lambda row: ent_ref[row, :][None, :]       # (1, Be)
+    c = lambda col: ctr_ref[:, col][:, None]       # (Bc, 1)
     Xs = [formulas.wrap(e(d) - c(d), period) for d in range(D)]
     con = [e(D + t) for t in range(tri)]
     G, _ = formulas.power_terms(Xs, con)
     r_j = e(D + tri)
-    r_i = c(D + R_REFF)
+    r_i = c(D + C_REFF)
     dist2 = sum(x * x for x in Xs)
     rr = r_i + r_j
-    mask = (
-        (e_t == c_t) & (r_j >= 1e-6) & (r_i >= 1e-6) & (dist2 <= rr * rr)
-    )
+    mask = (r_j >= 1e-6) & (r_i >= 1e-6) & (dist2 <= rr * rr)
     return Xs, jnp.where(mask, G, 0.0), e, c
 
 
@@ -121,20 +115,44 @@ def _sincode(D, nfreq, Xn, dtf_ref, E, want_terms: bool):
     return emb, fac, terms
 
 
-def _maps(block_rows, block_cols):
-    def col_map(w, a, c):
-        return (0, c[w])
+def _queries_w(D, L, K, ent_fk_ref, c):
+    """w = <q_i, k_j> unrolled over the K (static, small) channels: K
+    broadcast FMAs on the VPU beat a transposed-lhs MXU dot at K ~ 8
+    (aggregate_neighbors.cu:173-176).  Queries start at center column
+    D + 3."""
+    w = None
+    for k in range(K):
+        t = ent_fk_ref[L + k, :][None, :] * c(D + 3 + k)
+        w = t if w is None else w + t
+    return w
 
-    def row_map(w, a, c):
-        return (0, a[w] >> 2)
 
-    def row_map_r(w, a, c):
-        return (a[w] >> 2, 0)
+def _dotg(a, b):
+    """(Bc, X) @ (X, Be) MXU dot with fp32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    def rep_map(w, a, c):
-        return (0, 0)
 
-    return col_map, row_map, row_map_r, rep_map
+def _dot_nt(a, b):
+    """Contract the LANE dims of both operands: (Bc, Be) x (X, Be) ->
+    (Bc, X)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_tn(a, b):
+    """Contract the SUBLANE dims of both operands: (Bc, X) x (Bc, Be) ->
+    (X, Be).  The implicit lhs transpose is a (Bc, X) tile shuffle - tiny at
+    X = L; cheaper than carrying a second (X, Cp) cotangent layout whose
+    (X, Bc) blocks the TPU lowering rejects (lane dim < 128)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +162,7 @@ def _maps(block_rows, block_cols):
 
 def _totals_kernel(D, period, *refs):
     aux_ref = refs[0]
-    ent_ref, ent_tile_ref, ctr_ref, ctr_tile_ref, out_ref = refs[2:]
+    ent_ref, ctr_ref, out_ref = refs[2:]
     a_w = aux_ref[pl.program_id(0)]
 
     @pl.when((a_w & 2) != 0)
@@ -153,35 +171,38 @@ def _totals_kernel(D, period, *refs):
 
     @pl.when((a_w & 1) != 0)
     def _compute():
-        _, G, _, _ = _pair(D, period, ent_ref, ctr_ref, ent_tile_ref,
-                           ctr_tile_ref, "pn")
-        out_ref[...] += jnp.sum(G, axis=0, keepdims=True)
+        _, G, _, _ = _pair(D, period, ent_ref, ctr_ref)
+        out_ref[...] += jnp.sum(G, axis=1, keepdims=True)
 
 
-def totals(D: int, period, wl, ent_geo, ent_tile, ctr_geo, ctr_tile,
+def totals(D: int, period, wl, ent_geo, ctr_geo,
            *, block_n: int, block_e: int) -> jnp.ndarray:
-    """(1, Np) per-center total density (aggregate_neighbors.cu:120-125).
-    ``ctr_geo``'s inv_tot row is not read (it is what this computes)."""
+    """(Cp, 1) per-center total density (aggregate_neighbors.cu:120-125).
+    ``ctr_geo``'s inv_tot column is not read (it is what this computes)."""
     aux, col = wl
-    Np = ctr_geo.shape[1]
-    col_map, row_map, _, _ = _maps(block_e, block_n)
+    Cp = ctr_geo.shape[0]
+
+    def col_map(w, a, c):
+        return (0, c[w])
+
+    def row_map(w, a, c):
+        return (a[w] >> 2, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(aux.shape[0],),
         in_specs=[
             pl.BlockSpec((ent_geo.shape[0], block_e), col_map),
-            pl.BlockSpec((1, block_e), col_map),
-            pl.BlockSpec((ctr_geo.shape[0], block_n), row_map),
-            pl.BlockSpec((1, block_n), row_map),
+            pl.BlockSpec((block_n, ctr_geo.shape[1]), row_map),
         ],
-        out_specs=pl.BlockSpec((1, block_n), row_map),
+        out_specs=pl.BlockSpec((block_n, 1), row_map),
     )
     return pl.pallas_call(
         functools.partial(_totals_kernel, D, period),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cp, 1), jnp.float32),
         interpret=_interpret(),
-    )(aux, col, ent_geo, ent_tile, ctr_geo, ctr_tile)
+    )(aux, col, ent_geo, ctr_geo)
 
 
 # ---------------------------------------------------------------------------
@@ -191,8 +212,7 @@ def totals(D: int, period, wl, ent_geo, ent_tile, ctr_geo, ctr_tile,
 
 def _forward_kernel(D, L, K, nfreq, E, period, *refs):
     aux_ref = refs[0]
-    (ent_ref, ent_tile_ref, ent_fk_ref, ctr_ref, ctr_tile_ref,
-     dtf_ref, out_ref) = refs[2:]
+    ent_ref, ent_fk_ref, ctr_ref, dtf_ref, out_ref = refs[2:]
     a_w = aux_ref[pl.program_id(0)]
 
     @pl.when((a_w & 2) != 0)
@@ -201,187 +221,114 @@ def _forward_kernel(D, L, K, nfreq, E, period, *refs):
 
     @pl.when((a_w & 1) != 0)
     def _compute():
-        Xs, G, e, c = _pair(D, period, ent_ref, ctr_ref, ent_tile_ref,
-                            ctr_tile_ref, "pn")
-        fk = lambda row: ent_fk_ref[row, :][:, None]
-        w = None
-        for k in range(K):
-            t = fk(L + k) * c(D + 3 + k)
-            w = t if w is None else w + t
-        inv_norm = c(D + R_INVNORM)
-        inv_tot = c(D + R_INVTOT)
+        Xs, G, e, c = _pair(D, period, ent_ref, ctr_ref)
+        w = _queries_w(D, L, K, ent_fk_ref, c)
+        inv_norm = c(D + C_INVNORM)
+        inv_tot = c(D + C_INVTOT)
         Xn = [x * inv_norm for x in Xs]
         emb, fac, _ = _sincode(D, nfreq, Xn, dtf_ref, E, False)
-        coeff = G * w * inv_tot                      # (BP, BN)
-        # pre rows: features (L, BP) @ (coeff * fac) (BP, BN) on the MXU,
-        # plus the embedding's broadcast row (the same scalar feeds every
+        coeff = G * w * inv_tot                      # (Bc, Be)
+        # pre[c, l] = sum_e (coeff * fac)[c, e] * feat[l, e] on the MXU,
+        # plus the embedding's broadcast column (the same scalar feeds every
         # output channel - aggregate_neighbors.cu:198-205).
-        pre = jnp.dot(ent_fk_ref[:L, :], coeff * fac,
-                      preferred_element_type=jnp.float32)
-        out_ref[...] += pre + jnp.sum(coeff * emb, axis=0, keepdims=True)
+        pre = _dot_nt(coeff * fac, ent_fk_ref[:L, :])
+        out_ref[...] += pre + jnp.sum(coeff * emb, axis=1, keepdims=True)
 
 
 def forward(D: int, L: int, K: int, nfreq: int, period,
-            wl, ent_geo, ent_tile, ent_fk, ctr_geo, ctr_tile, dtf,
+            wl, ent_geo, ent_fk, ctr_geo, dtf,
             *, block_n: int, block_e: int) -> jnp.ndarray:
-    """(L, Np) raw pre-activation (before the LxL transform - one XLA
+    """(Cp, L) raw pre-activation (before the LxL transform - one XLA
     matmul outside, exact because the transform is linear)."""
     aux, col = wl
-    Np = ctr_geo.shape[1]
+    Cp = ctr_geo.shape[0]
     E = (dtf.shape[1] - nfreq) // 2
-    col_map, row_map, _, rep_map = _maps(block_e, block_n)
+
+    def col_map(w, a, c):
+        return (0, c[w])
+
+    def row_map(w, a, c):
+        return (a[w] >> 2, 0)
+
+    def rep_map(w, a, c):
+        return (0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(aux.shape[0],),
         in_specs=[
             pl.BlockSpec((ent_geo.shape[0], block_e), col_map),
-            pl.BlockSpec((1, block_e), col_map),
             pl.BlockSpec((L + K, block_e), col_map),
-            pl.BlockSpec((ctr_geo.shape[0], block_n), row_map),
-            pl.BlockSpec((1, block_n), row_map),
+            pl.BlockSpec((block_n, ctr_geo.shape[1]), row_map),
             pl.BlockSpec((1, dtf.shape[1]), rep_map),
         ],
-        out_specs=pl.BlockSpec((L, block_n), row_map),
+        out_specs=pl.BlockSpec((block_n, L), row_map),
     )
     return pl.pallas_call(
         functools.partial(_forward_kernel, D, L, K, nfreq, E, period),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cp, L), jnp.float32),
         interpret=_interpret(),
-    )(aux, col, ent_geo, ent_tile, ent_fk, ctr_geo, ctr_tile, dtf)
+    )(aux, col, ent_geo, ent_fk, ctr_geo, dtf)
 
 
 # ---------------------------------------------------------------------------
-# Backward, entry-major: dL/dfeatures, dL/dkeys rows per entry
+# Backward: ONE fused entry-chunk-major sweep for all parameter gradients
 # ---------------------------------------------------------------------------
 
 
-def _bwd_entries_kernel(D, L, K, nfreq, E, period, *refs):
+def _backward_kernel(D, L, K, nfreq, E, period, *refs):
+    """Fused backward (aggregateNeighborsBackward,
+    aggregate_neighbors.cu:210-321) in a single pair sweep: the per-entry
+    gradient rows (features, keys) accumulate across the entry chunk's
+    consecutive work items; the per-center gradients (queries) and global
+    partial sums (distance_transform, frequencies) land in a per-ITEM slab
+    that the caller segment-sums by center chunk (~5k rows - three orders
+    of magnitude cheaper than a second pair sweep recomputing the offsets,
+    densities, attention weights and sinusoidal codes)."""
     aux_ref = refs[0]
-    (ent_ref, ent_tile_ref, ent_fk_ref, ctr_ref, ctr_tile_ref,
-     dtf_ref, gpre_r_ref, gpre_ref, gsum_ref, dent_ref) = refs[2:]
+    (ent_ref, ent_fk_ref, ctr_ref, dtf_ref, gpre_ref, gsum_ref,
+     dent_ref, slab_ref) = refs[2:]
     a_w = aux_ref[pl.program_id(0)]
 
     @pl.when((a_w & 2) != 0)
     def _init():
         dent_ref[...] = jnp.zeros_like(dent_ref)
 
-    @pl.when((a_w & 1) != 0)
-    def _compute():
-        # (BN centers, BP entries): outputs ride the entry lanes.
-        Xs, G, e, c = _pair(D, period, ent_ref, ctr_ref, ent_tile_ref,
-                            ctr_tile_ref, "np")
-        # w = <q_i, k_j> unrolled over the K (static, small) channels: K
-        # broadcast FMAs on the VPU beat a transposed-lhs MXU dot at K ~ 8
-        # (aggregate_neighbors.cu:173-176).
-        w = None
-        for k in range(K):
-            t = ent_fk_ref[L + k, :][None, :] * ctr_ref[D + 3 + k, :][:, None]
-            w = t if w is None else w + t
-        inv_norm = ctr_ref[D + R_INVNORM, :][:, None]       # (BN, 1)
-        Xn = [x * inv_norm for x in Xs]
-        emb, fac, _ = _sincode(D, nfreq, Xn, dtf_ref, E, False)
-        # The cotangent arrives pre-scaled by inv_tot_i (see module
-        # docstring), so coeff here is G * w only.
-        cf = G * w * fac                                     # (BN, BP)
-        # dL/dfeat_j[l] = sum_i cf * gpre[l, i]   (MXU)
-        dfeat = jnp.dot(gpre_ref[...], cf,
-                        preferred_element_type=jnp.float32)  # (L, BP)
-        # gdotf[n, p] = sum_l gpre[n, l] * feat[l, p]
-        gdotf = jnp.dot(gpre_r_ref[...], ent_fk_ref[:L, :],
-                        preferred_element_type=jnp.float32)  # (BN, BP)
-        dw = G * (fac * gdotf + emb * gsum_ref[0, :][:, None])
-        # dL/dkey_j[k] = sum_i dw * q_i[k]
-        dkey_rows = []
-        for k in range(K):
-            dkey_rows.append(jnp.sum(
-                ctr_ref[D + 3 + k, :][:, None] * dw, axis=0, keepdims=True))
-        dent_ref[...] += jnp.concatenate([dfeat] + dkey_rows, axis=0)
-
-
-def bwd_entries(D: int, L: int, K: int, nfreq: int, period,
-                wl, ent_geo, ent_tile, ent_fk, ctr_geo, ctr_tile, dtf,
-                gpre_rows, gpre, gsum,
-                *, block_n: int, block_e: int) -> jnp.ndarray:
-    """(L + K, Ep) per-entry gradient rows: dfeatures rows then dkeys rows.
-    The caller segment-sums by gaussian id.  ``gpre_rows``/(Np, L) and
-    ``gpre``/(L, Np) are the transform-chained cotangent in both
-    orientations, ALREADY scaled by inv_total per center; ``gsum`` is its
-    (1, Np) channel sum."""
-    aux, col = wl
-    Ep = ent_geo.shape[1]
-    E = (dtf.shape[1] - nfreq) // 2
-    col_map, row_map, _, rep_map = _maps(block_e, block_n)
-
-    def col_map_r(w, a, c):
-        return (c[w], 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(aux.shape[0],),
-        in_specs=[
-            pl.BlockSpec((ent_geo.shape[0], block_e), row_map),
-            pl.BlockSpec((1, block_e), row_map),
-            pl.BlockSpec((L + K, block_e), row_map),
-            pl.BlockSpec((ctr_geo.shape[0], block_n), col_map),
-            pl.BlockSpec((1, block_n), col_map),
-            pl.BlockSpec((1, dtf.shape[1]), rep_map),
-            pl.BlockSpec((block_n, L), col_map_r),
-            pl.BlockSpec((L, block_n), col_map),
-            pl.BlockSpec((1, block_n), col_map),
-        ],
-        out_specs=pl.BlockSpec((L + K, block_e), row_map),
-    )
-    return pl.pallas_call(
-        functools.partial(_bwd_entries_kernel, D, L, K, nfreq, E, period),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L + K, Ep), jnp.float32),
-        interpret=_interpret(),
-    )(aux, col, ent_geo, ent_tile, ent_fk, ctr_geo, ctr_tile, dtf,
-      gpre_rows, gpre, gsum)
-
-
-# ---------------------------------------------------------------------------
-# Backward, center-major: dL/dqueries + dt/frequency gradient rows
-# ---------------------------------------------------------------------------
-
-
-def _bwd_centers_kernel(D, L, K, nfreq, E, period, *refs):
-    aux_ref = refs[0]
-    (ent_ref, ent_tile_ref, ent_fk_ref, ent_f_rows_ref, ctr_ref,
-     ctr_tile_ref, dtf_ref, gpre_ref, gsum_ref, out_ref) = refs[2:]
-    a_w = aux_ref[pl.program_id(0)]
-
-    @pl.when((a_w & 2) != 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    slab_ref[...] = jnp.zeros_like(slab_ref)
 
     @pl.when((a_w & 1) != 0)
     def _compute():
-        # (BP entries, BN centers): outputs ride the center lanes.
-        Xs, G, e, c = _pair(D, period, ent_ref, ctr_ref, ent_tile_ref,
-                            ctr_tile_ref, "pn")
-        fk = lambda row: ent_fk_ref[row, :][:, None]
-        w = None
-        for k in range(K):
-            t = fk(L + k) * c(D + 3 + k)
-            w = t if w is None else w + t
-        inv_norm = c(D + R_INVNORM)
+        Xs, G, e, c = _pair(D, period, ent_ref, ctr_ref)
+        w = _queries_w(D, L, K, ent_fk_ref, c)
+        inv_norm = c(D + C_INVNORM)
         Xn = [x * inv_norm for x in Xs]
         emb, fac, terms = _sincode(D, nfreq, Xn, dtf_ref, E, True)
-        # gdotf[p, n] = sum_l feat[l, p] * gpre[l, n]   (MXU, row-major lhs)
-        gdotf = jnp.dot(ent_f_rows_ref[...], gpre_ref[...],
-                        preferred_element_type=jnp.float32)  # (BP, BN)
-        gsum = gsum_ref[0, :][None, :]
+        gsum = gsum_ref[...]
+        # The cotangent arrives pre-scaled by inv_tot_i (see module
+        # docstring), so coeff here is G * w only.
+        cf = G * w * fac                             # (Bc, Be)
+        # dL/dfeat_j[l] = sum_i gpre[i, l] * cf[i, j]   (MXU)
+        dfeat = _dot_tn(gpre_ref[...], cf)           # (L, Be)
+        # gdotf[i, j] = sum_l gpre[i, l] * feat[l, j]
+        gdotf = _dotg(gpre_ref[...], ent_fk_ref[:L, :])   # (Bc, Be)
         dw = G * (fac * gdotf + emb * gsum)
-        # dL/dq_i[k] = sum_j dw * key_j[k]
-        rows = [
-            jnp.sum(fk(L + k) * dw, axis=0, keepdims=True) for k in range(K)
+        # dL/dkey_j[k] = sum_i dw[i, j] * q_i[k]
+        dkey_rows = [
+            jnp.sum(c(D + 3 + k) * dw, axis=0, keepdims=True)
+            for k in range(K)
         ]
-        # dt / frequency gradients (aggregate_neighbors.cu:270-317): the
-        # pair cotangents on the embedding / factor codes.
+        dent_ref[...] += jnp.concatenate([dfeat] + dkey_rows, axis=0)
+
+        # Center-side columns: dq, then per-pair cotangents of the codes
+        # (aggregate_neighbors.cu:270-317), lane-reduced per center row.
+        cols = [
+            jnp.sum(ent_fk_ref[L + k, :][None, :] * dw,
+                    axis=1, keepdims=True)
+            for k in range(K)
+        ]
         cw = G * w
-        cemb = cw * gsum                                     # (BP, BN)
+        cemb = cw * gsum                                  # (Bc, Be)
         cfac = cw * gdotf
         ddt = [None] * (2 * E)
         dfreq = [None] * nfreq
@@ -398,52 +345,71 @@ def _bwd_centers_kernel(D, L, K, nfreq, E, period, *refs):
                 dfreq[ee] = _racc(dfreq[ee], dphase * (jnp.pi * Xn[d]))
         ddt[E - 1] = _racc(ddt[E - 1], cemb)
         ddt[2 * E - 1] = _racc(ddt[2 * E - 1], cfac)
-        zero = jnp.zeros_like(rows[0])
+        zero = jnp.zeros_like(cols[0])
         for t in ddt + dfreq:
-            rows.append(zero if t is None else
-                        jnp.sum(t, axis=0, keepdims=True))
-        out_ref[...] += jnp.concatenate(rows, axis=0)
+            cols.append(zero if t is None else
+                        jnp.sum(t, axis=1, keepdims=True))
+        slab_ref[...] = jnp.concatenate(cols, axis=1)
 
 
 def _racc(acc, x):
     return x if acc is None else acc + x
 
 
-def bwd_centers(D: int, L: int, K: int, nfreq: int, period,
-                wl, ent_geo, ent_tile, ent_fk, ent_f_rows, ctr_geo, ctr_tile,
-                dtf, gpre, gsum,
-                *, block_n: int, block_e: int) -> jnp.ndarray:
-    """(K + 2E + nfreq, Np) per-center gradient rows: dqueries rows, then
-    per-center partial sums of d(distance_transform) and d(frequencies)
-    (reduce over Np outside).  Cotangent inputs pre-scaled by inv_total."""
-    aux, col = wl
-    Np = ctr_geo.shape[1]
-    E = (dtf.shape[1] - nfreq) // 2
-    col_map, row_map, _, rep_map = _maps(block_e, block_n)
+def backward(D: int, L: int, K: int, nfreq: int, period,
+             wl, ent_geo, ent_fk, ctr_geo, dtf, gpre, gsum,
+             *, block_n: int, block_e: int):
+    """One fused backward sweep over the entry-chunk-major work list.
 
-    def col_map_r(w, a, c):
+    Returns (dent, slab):
+      dent (L + K, Ep)   per-entry gradient rows (dfeatures, dkeys); the
+        caller segment-sums by gaussian id.
+      slab (W * block_n, K + 2E + nfreq)   per-work-item center gradient
+        columns (dqueries, then d(distance_transform) / d(frequencies)
+        partial sums); the caller segment-sums by the item's center chunk
+        (wl col) and reduces the code columns over centers.
+    ``gpre``/(Cp, L) is the transform-chained cotangent, ALREADY scaled by
+    inv_total per center; ``gsum`` is its (Cp, 1) channel sum."""
+    aux, col = wl
+    Ep = ent_geo.shape[1]
+    E = (dtf.shape[1] - nfreq) // 2
+    W = aux.shape[0]
+    S = K + 2 * E + nfreq
+
+    def row_map(w, a, c):
+        return (0, a[w] >> 2)
+
+    def col_map(w, a, c):
         return (c[w], 0)
+
+    def item_map(w, a, c):
+        return (w, 0)
+
+    def rep_map(w, a, c):
+        return (0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(aux.shape[0],),
+        grid=(W,),
         in_specs=[
-            pl.BlockSpec((ent_geo.shape[0], block_e), col_map),
-            pl.BlockSpec((1, block_e), col_map),
-            pl.BlockSpec((L + K, block_e), col_map),
-            pl.BlockSpec((block_e, L), col_map_r),
-            pl.BlockSpec((ctr_geo.shape[0], block_n), row_map),
-            pl.BlockSpec((1, block_n), row_map),
+            pl.BlockSpec((ent_geo.shape[0], block_e), row_map),
+            pl.BlockSpec((L + K, block_e), row_map),
+            pl.BlockSpec((block_n, ctr_geo.shape[1]), col_map),
             pl.BlockSpec((1, dtf.shape[1]), rep_map),
-            pl.BlockSpec((L, block_n), row_map),
-            pl.BlockSpec((1, block_n), row_map),
+            pl.BlockSpec((block_n, L), col_map),
+            pl.BlockSpec((block_n, 1), col_map),
         ],
-        out_specs=pl.BlockSpec((K + 2 * E + nfreq, block_n), row_map),
+        out_specs=[
+            pl.BlockSpec((L + K, block_e), row_map),
+            pl.BlockSpec((block_n, S), item_map),
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_centers_kernel, D, L, K, nfreq, E, period),
+        functools.partial(_backward_kernel, D, L, K, nfreq, E, period),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((K + 2 * E + nfreq, Np), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((L + K, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((W * block_n, S), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(aux, col, ent_geo, ent_tile, ent_fk, ent_f_rows, ctr_geo, ctr_tile,
-      dtf, gpre, gsum)
+    )(aux, col, ent_geo, ent_fk, ctr_geo, dtf, gpre, gsum)

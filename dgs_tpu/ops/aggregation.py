@@ -356,51 +356,75 @@ def aggregate(
     return jnp.einsum("pj,jk->pk", pre, transform)
 
 
+
 # ---------------------------------------------------------------------------
 # Pallas-kernel path (kernels/aggregate.py): nothing per-pair through HBM
 # ---------------------------------------------------------------------------
 
 
+class AggPlan(NamedTuple):
+    """Static capacities for the chunked Pallas aggregation path (hashable:
+    usable as a jit static argument).  Produced by plan_pallas from one
+    eager geometry build; every capacity is exact, with in-graph overflow
+    counters guarding drift."""
+
+    rect: int      # per-axis candidate-tile cap R for duplicate_entries
+    e_chunks: int  # entry chunks of block_e (padded entries = e_chunks*block_e)
+    c_chunks: int  # center chunks of block_n (padded centers = c_chunks*block_n)
+    work_fwd: int  # center-chunk-major work items
+    work_bwd: int  # entry-chunk-major work items
+
+
 class AggBinning(NamedTuple):
     """Acceleration structure + static geometry for the Pallas aggregation
     path (the analogue of the reference's preprocess_aggregate products,
-    aggregate_neighbors.cu:347-364, in tile-binned form).
+    aggregate_neighbors.cu:347-364, in per-tile chunked form -
+    binning/chunked.py).
 
     All per-pair quantities (offsets, densities, attention weights,
     sinusoidal codes) are recomputed in VMEM by the kernels; this carries
-    only the tile-sorted entry list, the tile-sorted center order, the
+    only the chunk-padded entry list, the chunk-padded center order, the
     packed static geometry (including the per-center inverse total density
-    from the totals kernel), and the work lists of both sweep orientations.
+    from the totals kernel), and the same-tile chunk work lists of both
+    sweep orientations.
     """
 
-    ent_gid: jnp.ndarray     # (Ep,) int32, P = sentinel
-    ent_tile: jnp.ndarray    # (1, Ep) int32, T = sentinel
+    ent_gid: jnp.ndarray     # (Ep,) int32, P = sentinel (pad slots)
     ent_geo: jnp.ndarray     # (D+tri+1, Ep) shifted means, conics, r_eff
-    ctr_static: jnp.ndarray  # (D+3, Np) sorted means, r_eff, inv_norm, inv_tot
-    ctr_tile: jnp.ndarray    # (1, Np) int32, sentinel-padded
-    s_perm: jnp.ndarray      # (P,) original center id by sorted position
-    inv_perm: jnp.ndarray    # (P,) sorted position of each original center
-    wl_fwd: Tuple[jnp.ndarray, jnp.ndarray]  # center-major (aux, col)
-    wl_bwd: Tuple[jnp.ndarray, jnp.ndarray]  # entry-major (aux, col)
-    overflow: jnp.ndarray    # () int32: rect + entry + work-list overflow
+    ctr_static: jnp.ndarray  # (Cp, D+3) means, r_eff, inv_norm, inv_tot
+    cid: jnp.ndarray         # (Cp,) int32 original center id, P = sentinel
+    pos: jnp.ndarray         # (P,) int32 padded slot of each center
+    wl_fwd: Tuple[jnp.ndarray, jnp.ndarray]  # center-chunk-major (aux, col)
+    wl_bwd: Tuple[jnp.ndarray, jnp.ndarray]  # entry-chunk-major (aux, col)
+    overflow: jnp.ndarray    # () int32: rect + chunk + work-list overflow
 
 
-def plan_pallas(cfg: SamplerConfig, means, radii, *, block_n: int = 256,
-                block_e: int = 256, auto_tile: bool = True):
+def _collision_geometry(cfg: SamplerConfig, radii):
+    """Shrunk per-Gaussian collision radii and the entry inflation rho
+    (aggregate_neighbors.cu:38: collide iff dist <= 0.2 (r_i + r_j), so an
+    entry must reach every center within r_eff_j + max_i r_eff_i)."""
+    r = radii * 0.2
+    alive = r >= 1e-6
+    r_eff = jnp.where(alive, r, 0.0)
+    rho = jnp.where(alive, r_eff + jnp.max(r_eff), 0.0)
+    return r_eff, rho
+
+
+def plan_pallas(cfg: SamplerConfig, means, radii, *, block_n: int = 32,
+                block_e: int = 128, auto_tile: bool = True):
     """Host-side capacity plan for preprocess_pallas.
 
-    Returns (cfg', rect_capacity, entry_capacity, work_fwd, work_bwd):
-    a config whose tile size matches the 0.2-shrunk collision radii (the
-    sampler's 3-sigma grid is usually far coarser) and exact static
-    capacities measured from one eager geometry build.
+    Returns (cfg', AggPlan): a config whose tile size matches the
+    0.2-shrunk collision radii (the sampler's 3-sigma grid is usually far
+    coarser) and exact static chunk/work capacities measured from one eager
+    geometry build.
     """
     import dataclasses
 
     import numpy as np
 
+    from ..binning import chunked
     from ..binning import grid as binning
-    from ..kernels import tiled as ktiled
-    from ..kernels.dense import _round_up
 
     P, D = means.shape
     cfg = cfg.with_dims(D)
@@ -422,118 +446,110 @@ def plan_pallas(cfg: SamplerConfig, means, radii, *, block_n: int = 256,
     ent = binning.duplicate_entries(
         cfg, jnp.asarray(means), jnp.asarray(rho), R, P * R ** D
     )
-    T = binning.num_tiles(cfg, D)
-    n_entries = int(jax.device_get(jnp.sum(ent[1] < T)))
-    E_cap = _round_up(max(n_entries, block_e), block_e)
-    Np = _round_up(P, block_n)
-
-    ent_tile = ent[1][:E_cap]
-    # Work totals from the real geometries at these block sizes.
     sb = binning.bin_samples(cfg, jnp.asarray(means))
-    fwd_geom = binning._range_geometry(
-        sb.s_tile[0], block_n, ent[2], block_e, P
+    em = np.asarray(jax.device_get(chunked.chunk_counts(ent[2], block_e)))
+    cm = np.asarray(jax.device_get(chunked.chunk_counts(sb.s_start, block_n)))
+    work_fwd = int((cm * np.maximum(em, 1)).sum())
+    work_bwd = int((em * np.maximum(cm, 1)).sum())
+    return cfg, AggPlan(
+        rect=R,
+        e_chunks=max(int(em.sum()), 1),
+        c_chunks=max(int(cm.sum()), 1),
+        work_fwd=max(work_fwd, 1),
+        work_bwd=max(work_bwd, 1),
     )
-    bwd_geom = binning._range_geometry(
-        ent_tile, block_e, sb.s_start, block_n, E_cap
-    )
-    work_fwd = int(jax.device_get(ktiled.work_total(fwd_geom[1])))
-    work_bwd = int(jax.device_get(ktiled.work_total(bwd_geom[1])))
-    return cfg, R, E_cap, work_fwd, work_bwd
 
 
-@functools.partial(
-    jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9),
-    static_argnames=("rect_capacity", "entry_capacity", "work_fwd",
-                     "work_bwd", "block_n", "block_e"))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6),
+                   static_argnames=("plan", "block_n", "block_e"))
 def preprocess_pallas(
     cfg: SamplerConfig,
     means: jnp.ndarray,   # (P, D)
     conics: jnp.ndarray,  # (P, tri)
     radii: jnp.ndarray,   # (P,)
-    rect_capacity: int,
-    entry_capacity: int,
-    work_fwd: int,
-    work_bwd: int,
-    block_n: int = 256,
-    block_e: int = 256,
+    plan: AggPlan,
+    block_n: int = 32,
+    block_e: int = 128,
 ) -> AggBinning:
     """Build the Pallas aggregation structure (jit-compatible, static caps
     from plan_pallas).  Replaces findCollisions + preprocess
-    (aggregate_neighbors.cu:18-127): tile-binned candidate sweeps instead of
-    the O(P^2) matrix, and the per-center total density from one cheap
-    Pallas pair sweep instead of materialized CSR density arrays.
+    (aggregate_neighbors.cu:18-127): per-tile chunk-padded candidate sweeps
+    instead of the O(P^2) matrix, and the per-center total density from one
+    cheap Pallas pair sweep instead of materialized CSR density arrays.
     """
+    from ..binning import chunked
     from ..binning import grid as binning
     from ..kernels import aggregate as kagg
-    from ..kernels import tiled as ktiled
-    from ..kernels.dense import _pad_axis, _round_up
 
     P, D = means.shape
     tri = tri_size(D)
     cfg = cfg.with_dims(D)
-    R = rect_capacity
+    Ep = plan.e_chunks * block_e
+    Cp = plan.c_chunks * block_n
 
-    r = radii * 0.2
-    alive = r >= 1e-6
-    r_eff = jnp.where(alive, r, 0.0)
-    rho = jnp.where(alive, r_eff + jnp.max(r_eff), 0.0)
+    r_eff, rho = _collision_geometry(cfg, radii)
 
-    E_cap = _round_up(max(entry_capacity, block_e), block_e)
-    (ent_gid, ent_tile, ent_start, ent_shift, rect_of,
-     ent_of) = binning.duplicate_entries(cfg, means, rho, R, E_cap)
-    T = binning.num_tiles(cfg, D)
+    (gid, tile, start, shift, rect_of, ent_of) = binning.duplicate_entries(
+        cfg, means, rho, plan.rect, min(P * plan.rect ** D, Ep)
+    )
+    sb = binning.bin_samples(cfg, means)
 
-    # Static entry geometry: shifted means, conics, r_eff (one row gather).
+    # Chunk-padded entry side.  gid and shift ride ONE packed 1-D gather
+    # (shift < 64: 2 bits per axis, D <= 3); geometry rides one row gather.
+    # Every other per-slot array is a chunk-level broadcast - per-slot
+    # gathers serialize at ~10ns/row and would dominate this preprocess.
+    esrc, evalid, _, _, ebase, em, e_of = chunked.chunk_layout(
+        start, block_e, plan.e_chunks)
+    packed = jnp.where(gid < P, gid * 64 + shift, jnp.int32(P) * 64)
+    pk = jnp.where(evalid, packed[esrc], jnp.int32(P) * 64)
+    gid_pad = pk // 64
     geo = jnp.concatenate([means, conics, r_eff[:, None]], axis=1)
     geo = jnp.concatenate([geo, jnp.zeros((1, geo.shape[1]), geo.dtype)], 0)
-    ent = geo[ent_gid]                        # (E_cap, D+tri+1)
+    ent = geo[gid_pad]                        # (Ep, D+tri+1)
     if cfg.period is not None:
+        shift_pad = pk - gid_pad * 64
         k = jnp.stack(
-            [((ent_shift >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
+            [((shift_pad >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
         ).astype(ent.dtype)
         ent = ent.at[:, :D].add(-cfg.period * k)
-    ent_geo = ent.T                           # (D+tri+1, E_cap)
+    ent_geo = ent.T                           # (D+tri+1, Ep)
 
-    # Tile-sorted centers (the sample side of the binning, reused verbatim).
-    sb = binning.bin_samples(cfg, means)
-    Np = _round_up(P, block_n)
-    ctr_tile = _pad_axis(sb.s_tile, 1, Np)
-    ctr_tile = jnp.where(jnp.arange(Np)[None, :] >= P,
-                         jnp.int32(2**30 + 1), ctr_tile)
-    mu_sorted = _pad_axis(sb.s_sorted, 1, Np)           # (D, Np)
-    r_eff_sorted = _pad_axis(r_eff[sb.s_perm][None, :], 1, Np)
+    # Chunk-padded center side (the sample half of the binning machinery):
+    # one 1-D gather for the id, one packed row gather for the geometry.
+    csrc, cvalid, _, _, cbase, cm, c_of = chunked.chunk_layout(
+        sb.s_start, block_n, plan.c_chunks)
+    cid = jnp.where(cvalid, sb.s_perm[csrc], P)
     inv_norm = 1.0 / (radii * 0.333 + 1e-6)
-    inv_norm_sorted = _pad_axis(inv_norm[sb.s_perm][None, :], 1, Np)
+    ctr_tab = jnp.concatenate(
+        [means, r_eff[:, None], inv_norm[:, None]], axis=1)
+    ctr_tab = jnp.concatenate(
+        [ctr_tab, jnp.zeros((1, D + 2), ctr_tab.dtype)], 0)
     ctr_pre = jnp.concatenate(
-        [mu_sorted, r_eff_sorted, inv_norm_sorted,
-         jnp.ones((1, Np), jnp.float32)], axis=0
-    )                                                    # (D+3, Np)
+        [ctr_tab[cid], jnp.ones((Cp, 1), jnp.float32)], axis=1
+    )                                                    # (Cp, D+3)
 
-    # Work lists for both sweep orientations.
-    NB, EB = Np // block_n, E_cap // block_e
-    fwd_geom = binning._range_geometry(sb.s_tile[0], block_n, ent_start,
-                                       block_e, P)
-    bwd_geom = binning._range_geometry(ent_tile, block_e, sb.s_start,
-                                       block_n, E_cap)
-    wl_f = ktiled.work_list(fwd_geom[0], fwd_geom[1], EB, work_fwd)
-    wl_b = ktiled.work_list(bwd_geom[0], bwd_geom[1], NB, work_bwd)
+    # Same-tile chunk work lists for both sweep orientations.
+    aux_f, col_f, wf_of = chunked.work_list(
+        cm, em, cbase, ebase, plan.work_fwd, plan.e_chunks)
+    aux_b, col_b, wb_of = chunked.work_list(
+        em, cm, ebase, cbase, plan.work_bwd, plan.c_chunks)
 
     # Per-center total density -> inv_total (aggregate_neighbors.cu:120-125).
     tot = kagg.totals(
-        D, cfg.period, wl_f[:2], ent_geo, ent_tile[None, :], ctr_pre,
-        ctr_tile, block_n=block_n, block_e=block_e,
+        D, cfg.period, (aux_f, col_f), ent_geo, ctr_pre,
+        block_n=block_n, block_e=block_e,
     )
     inv_tot = 1.0 / (tot + 1e-6)
-    ctr_static = jnp.concatenate([ctr_pre[:-1], inv_tot], axis=0)
+    ctr_static = jnp.concatenate([ctr_pre[:, :-1], inv_tot], axis=1)
 
-    inv_perm = jnp.zeros((P,), jnp.int32).at[sb.s_perm].set(
-        jnp.arange(P, dtype=jnp.int32)
-    )
-    overflow = (rect_of + ent_of + wl_f[5] + wl_b[5]).astype(jnp.int32)
+    pos = jnp.zeros((P + 1,), jnp.int32).at[cid].set(
+        jnp.arange(Cp, dtype=jnp.int32), mode="drop"
+    )[:P]
+    overflow = (rect_of + ent_of + e_of + c_of + wf_of + wb_of
+                ).astype(jnp.int32)
     return AggBinning(
-        ent_gid=ent_gid, ent_tile=ent_tile[None, :], ent_geo=ent_geo,
-        ctr_static=ctr_static, ctr_tile=ctr_tile, s_perm=sb.s_perm,
-        inv_perm=inv_perm, wl_fwd=wl_f[:2], wl_bwd=wl_b[:2],
+        ent_gid=gid_pad, ent_geo=ent_geo, ctr_static=ctr_static,
+        cid=cid, pos=pos, wl_fwd=(aux_f, col_f), wl_bwd=(aux_b, col_b),
         overflow=overflow,
     )
 
@@ -547,7 +563,7 @@ def aggregate_pallas(
     distance_transform: jnp.ndarray,  # (2E,)
     agg: AggBinning,
     *, period: Optional[float] = 2.0,
-    block_n: int = 256, block_e: int = 256,
+    block_n: int = 32, block_e: int = 128,
 ) -> jnp.ndarray:
     """Forward aggregation through the Pallas kernels; differentiable in all
     six parameter groups (the reference's contract,
@@ -559,70 +575,75 @@ def aggregate_pallas(
     neighbor_capacity to overflow (agg.overflow reports binning/work-list
     overflow instead)."""
     from ..kernels import aggregate as kagg
-    from ..kernels.dense import _pad_axis
 
     P, L = features.shape
     K = queries.shape[1]
-    D = agg.ctr_static.shape[0] - 3
+    D = agg.ctr_static.shape[1] - 3
     E = distance_transform.shape[0] // 2
     nfreq = (E - 1) // D // 2
-    Np = agg.ctr_static.shape[1]
-
-    @jax.custom_vjp
-    def raw_pre(features, queries, keys, frequencies, distance_transform):
-        ent_fk, _, ctr_geo, dtf = _gather(
-            features, queries, keys, frequencies, distance_transform)
-        return kagg.forward(
-            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
-            agg.ent_tile, ent_fk, ctr_geo, agg.ctr_tile, dtf,
-            block_n=block_n, block_e=block_e,
-        )
+    Cp = agg.ctr_static.shape[0]
 
     def _gather(features, queries, keys, frequencies, distance_transform):
         fk = jnp.concatenate([features, keys], axis=1)
         fk = jnp.concatenate([fk, jnp.zeros((1, L + K), fk.dtype)], 0)
-        ent_fk_rows = fk[agg.ent_gid]                   # (Ep, L+K)
-        ent_fk = ent_fk_rows.T
-        q = queries[agg.s_perm].T                       # (K, P)
-        q = _pad_axis(q, 1, Np)
-        ctr_geo = jnp.concatenate([agg.ctr_static, q], axis=0)
+        ent_fk = fk[agg.ent_gid].T                      # (L+K, Ep)
+        q_tab = jnp.concatenate([queries, jnp.zeros((1, K), queries.dtype)])
+        ctr_geo = jnp.concatenate([agg.ctr_static, q_tab[agg.cid]], axis=1)
         dtf = jnp.concatenate(
             [distance_transform, frequencies[:nfreq]])[None, :]
-        return ent_fk, ent_fk_rows[:, :L], ctr_geo, dtf
+        return ent_fk, ctr_geo, dtf
+
+    @jax.custom_vjp
+    def raw_pre(features, queries, keys, frequencies, distance_transform):
+        ent_fk, ctr_geo, dtf = _gather(
+            features, queries, keys, frequencies, distance_transform)
+        return kagg.forward(
+            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
+            ent_fk, ctr_geo, dtf, block_n=block_n, block_e=block_e,
+        )
 
     def raw_pre_fwd(features, queries, keys, frequencies, distance_transform):
-        return (raw_pre(features, queries, keys, frequencies,
-                        distance_transform),
-                (features, queries, keys, frequencies, distance_transform))
+        ent_fk, ctr_geo, dtf = _gather(
+            features, queries, keys, frequencies, distance_transform)
+        pre = kagg.forward(
+            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
+            ent_fk, ctr_geo, dtf, block_n=block_n, block_e=block_e,
+        )
+        # Residuals: the gathered operand layouts (re-gathering ~3x the
+        # parameter rows costs more than the HBM they hold).
+        return pre, (ent_fk, ctr_geo, dtf, frequencies)
 
     def raw_pre_bwd(res, g):
-        features, queries, keys, frequencies, distance_transform = res
-        ent_fk, ent_f_rows, ctr_geo, dtf = _gather(
-            features, queries, keys, frequencies, distance_transform)
+        ent_fk, ctr_geo, dtf, frequencies = res
         # Every center's contribution is linear in its inv_total: fold it
         # into the cotangent so the backward kernels never touch it.
-        g = g * agg.ctr_static[D + 2, :][None, :]       # (L, Np)
-        gsum = jnp.sum(g, axis=0, keepdims=True)
-        dent = kagg.bwd_entries(
+        g = g * agg.ctr_static[:, D + 2:D + 3]          # (Cp, L)
+        gsum = jnp.sum(g, axis=1, keepdims=True)
+        dent, slab = kagg.backward(
             D, L, K, nfreq, period, agg.wl_bwd, agg.ent_geo,
-            agg.ent_tile, ent_fk, ctr_geo, agg.ctr_tile, dtf,
-            g.T, g, gsum, block_n=block_n, block_e=block_e,
+            ent_fk, ctr_geo, dtf, g, gsum,
+            block_n=block_n, block_e=block_e,
         )
         d = jax.ops.segment_sum(dent.T, agg.ent_gid, num_segments=P + 1)[:P]
-        ctr_out = kagg.bwd_centers(
-            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
-            agg.ent_tile, ent_fk, ent_f_rows, ctr_geo, agg.ctr_tile, dtf,
-            g, gsum, block_n=block_n, block_e=block_e,
-        )
-        dq = ctr_out[:K, :].T[:P][agg.inv_perm]         # unsort (P, K)
-        ddt = jnp.sum(ctr_out[K:K + 2 * E, :], axis=1)
+        # Per-item center slabs -> per-center-chunk sums (a ~5k-row scatter;
+        # the second pair sweep this replaces cost three orders more).
+        W = agg.wl_bwd[0].shape[0]
+        S = K + 2 * E + nfreq
+        ctr_out = jax.ops.segment_sum(
+            slab.reshape(W, block_n * S), agg.wl_bwd[1],
+            num_segments=Cp // block_n,
+        ).reshape(Cp, S)
+        # Full-row gather, THEN slice: a (pos, :K) mixed index gathers
+        # partial rows, which XLA serializes into a while loop.
+        dq = ctr_out[agg.pos][:, :K]                    # unpad+unsort (P, K)
+        ddt = jnp.sum(ctr_out[:, K:K + 2 * E], axis=0)
         dfreq = jnp.zeros_like(frequencies).at[:nfreq].set(
-            jnp.sum(ctr_out[K + 2 * E:, :], axis=1)
+            jnp.sum(ctr_out[:, K + 2 * E:], axis=0)
         )
         return d[:, :L], dq, d[:, L:], dfreq, ddt
 
     raw_pre.defvjp(raw_pre_fwd, raw_pre_bwd)
 
     pre = raw_pre(features, queries, keys, frequencies, distance_transform)
-    out_sorted = jnp.einsum("lp,lk->pk", pre, transform)  # (Np, K=L)
-    return out_sorted[:P][agg.inv_perm]
+    out_pad = jnp.einsum("cl,lk->ck", pre, transform)   # (Cp, K=L)
+    return out_pad[agg.pos]

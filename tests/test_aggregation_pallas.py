@@ -67,17 +67,17 @@ def test_pallas_matches_xla_aggregation(rng, D):
         )
 
     # Pallas path.
-    cfg2, R, E_cap, wf, wb = aggregation.plan_pallas(
-        cfg, means, rad, block_n=128, block_e=128)
+    cfg2, plan = aggregation.plan_pallas(
+        cfg, means, rad, block_n=16, block_e=128)
     agg = aggregation.preprocess_pallas(
-        cfg2, means, conics, rad, R, E_cap, wf, wb, 128, 128)
+        cfg2, means, conics, rad, plan, 16, 128)
     assert int(agg.overflow) == 0
 
     def pallas_fn(p):
         return aggregation.aggregate_pallas(
             p["features"], p["transform"], p["queries"], p["keys"],
             p["frequencies"], p["distance_transform"], agg,
-            period=cfg2.period, block_n=128, block_e=128,
+            period=cfg2.period, block_n=16, block_e=128,
         )
 
     out_ref, g_ref = _outputs_and_grads(xla_fn, params)
@@ -111,16 +111,16 @@ def test_pallas_matches_xla_with_culled_and_open_domain(rng):
         params["keys"], params["frequencies"],
         params["distance_transform"], nbr)
 
-    cfg2, R, E_cap, wf, wb = aggregation.plan_pallas(
-        cfg, means, rad, block_n=128, block_e=128)
+    cfg2, plan = aggregation.plan_pallas(
+        cfg, means, rad, block_n=16, block_e=128)
     agg = aggregation.preprocess_pallas(
-        cfg2, means, conics, rad, R, E_cap, wf, wb, 128, 128)
+        cfg2, means, conics, rad, plan, 16, 128)
     assert int(agg.overflow) == 0
     out_got = aggregation.aggregate_pallas(
         params["features"], params["transform"], params["queries"],
         params["keys"], params["frequencies"],
         params["distance_transform"], agg,
-        period=cfg2.period, block_n=128, block_e=128)
+        period=cfg2.period, block_n=16, block_e=128)
     np.testing.assert_allclose(
         out_got, out_ref, rtol=2e-4,
         atol=1e-5 * max(1.0, float(np.abs(np.asarray(out_ref)).max())))

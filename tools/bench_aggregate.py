@@ -58,10 +58,10 @@ def main():
     cfg = SamplerConfig(tile_size=float(os.environ.get("AGG_TILE", 0.051)),
                         eig_floor=1e-12)
     rad_host = compute_radii(cov, D, cfg.radius_sigma, cfg.eig_floor)
-    bn = int(os.environ.get("AGG_BN", 256))
-    be = int(os.environ.get("AGG_BE", 256))
+    bn = int(os.environ.get("AGG_BN", 32))
+    be = int(os.environ.get("AGG_BE", 128))
     if method == "pallas":
-        cfg, R, E_cap, wf, wb = aggregation.plan_pallas(
+        cfg, plan = aggregation.plan_pallas(
             cfg, field.means, rad_host, block_n=bn, block_e=be)
         NC = -1
     else:
@@ -78,8 +78,7 @@ def main():
     if method == "pallas":
         pre = functools.partial(
             aggregation.preprocess_pallas, cfg,
-            rect_capacity=R, entry_capacity=E_cap,
-            work_fwd=wf, work_bwd=wb, block_n=bn, block_e=be,
+            plan=plan, block_n=bn, block_e=be,
         )
     else:
         pre = functools.partial(
@@ -92,7 +91,7 @@ def main():
         def body(m, _):
             nbr = pre(m, con, rad)
             # dependency: nudge means by a tiny function of the table
-            dep = (nbr.ctr_static[-1, :m.shape[0], None]
+            dep = (nbr.ctr_static[nbr.pos, -1:]
                    if method == "pallas"
                    else nbr.inv_total_densities[:, None])
             m = m + 1e-12 * dep

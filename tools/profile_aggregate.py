@@ -27,8 +27,8 @@ def main():
     nfreq = int(os.environ.get("AGG_NFREQ", 4))
     D = 2
     sigma = float(os.environ.get("AGG_SIGMA", 2.0 / max(P, 1) ** 0.5))
-    bn = int(os.environ.get("AGG_BN", 256))
-    be = int(os.environ.get("AGG_BE", 256))
+    bn = int(os.environ.get("AGG_BN", 32))
+    be = int(os.environ.get("AGG_BE", 128))
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -49,10 +49,9 @@ def main():
     cfg = SamplerConfig(tile_size=float(os.environ.get("AGG_TILE", 0.051)),
                         eig_floor=1e-12)
     rad_host = compute_radii(cov, D, cfg.radius_sigma, cfg.eig_floor)
-    cfg, R, E_cap, wf, wb = aggregation.plan_pallas(
+    cfg, plan = aggregation.plan_pallas(
         cfg, field.means, rad_host, block_n=bn, block_e=be)
-    print(json.dumps({"E_cap": E_cap, "work_fwd": wf, "work_bwd": wb,
-                      "tile": cfg.tile_size}))
+    print(json.dumps({"plan": list(plan), "tile": cfg.tile_size}))
 
     dev = jax.devices()[0]
     means = jax.device_put(field.means, dev)
@@ -61,8 +60,7 @@ def main():
     params = jax.device_put(params, dev)
 
     agg = jax.jit(functools.partial(
-        aggregation.preprocess_pallas, cfg, rect_capacity=R,
-        entry_capacity=E_cap, work_fwd=wf, work_bwd=wb,
+        aggregation.preprocess_pallas, cfg, plan=plan,
         block_n=bn, block_e=be))(means, con, rad)
     jax.block_until_ready(agg)
 
@@ -86,10 +84,26 @@ def main():
     out = run(params, agg)
     jax.block_until_ready(out)
 
+    which = os.environ.get("AGG_PROFILE", "step")
     logdir = "/tmp/agg_trace"
-    with trace(logdir):
-        out = run(params, agg)
+    if which == "preprocess":
+        @jax.jit
+        def pre_n(means, con, rad):
+            def body(m, _):
+                nbr = aggregation.preprocess_pallas(
+                    cfg, m, con, rad, plan=plan, block_n=bn, block_e=be)
+                m = m + 1e-12 * nbr.ctr_static[nbr.pos, -1:]
+                return m, nbr.overflow
+            return jax.lax.scan(body, means, None, length=STEPS)
+        out = pre_n(means, con, rad)
         jax.block_until_ready(out)
+        with trace(logdir):
+            out = pre_n(means, con, rad)
+            jax.block_until_ready(out)
+    else:
+        with trace(logdir):
+            out = run(params, agg)
+            jax.block_until_ready(out)
 
     for rec in device_op_times(logdir, top=20, steps=STEPS):
         print(json.dumps(rec))
