@@ -308,7 +308,8 @@ def _backward_kernel(D, L, K, nfreq, E, period, *refs):
         # The cotangent arrives pre-scaled by inv_tot_i (see module
         # docstring), so coeff here is G * w only.
         cf = G * w * fac                             # (Bc, Be)
-        # dL/dfeat_j[l] = sum_i gpre[i, l] * cf[i, j]   (MXU)
+        # dL/dfeat_j[l] = sum_i gpre[i, l] * cf[i, j]   (MXU; the tiny
+        # (Bc, L) lhs transpose beats transposing a 128-lane operand)
         dfeat = _dot_tn(gpre_ref[...], cf)           # (L, Be)
         # gdotf[i, j] = sum_l gpre[i, l] * feat[l, j]
         gdotf = _dotg(gpre_ref[...], ent_fk_ref[:L, :])   # (Bc, Be)
@@ -320,8 +321,8 @@ def _backward_kernel(D, L, K, nfreq, E, period, *refs):
         ]
         dent_ref[...] += jnp.concatenate([dfeat] + dkey_rows, axis=0)
 
-        # Center-side columns: dq, then per-pair cotangents of the codes
-        # (aggregate_neighbors.cu:270-317), lane-reduced per center row.
+        # Center-side columns: dq, then the per-pair cotangents of the
+        # codes (aggregate_neighbors.cu:270-317), lane-reduced per center.
         cols = [
             jnp.sum(ent_fk_ref[L + k, :][None, :] * dw,
                     axis=1, keepdims=True)
@@ -363,7 +364,8 @@ def backward(D: int, L: int, K: int, nfreq: int, period,
 
     Returns (dent, slab):
       dent (L + K, Ep)   per-entry gradient rows (dfeatures, dkeys); the
-        caller segment-sums by gaussian id.
+        caller gather-compacts to the sorted entry list and segment-sums by
+        gaussian id.
       slab (W * block_n, K + 2E + nfreq)   per-work-item center gradient
         columns (dqueries, then d(distance_transform) / d(frequencies)
         partial sums); the caller segment-sums by the item's center chunk

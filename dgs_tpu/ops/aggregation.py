@@ -369,6 +369,7 @@ class AggPlan(NamedTuple):
     counters guarding drift."""
 
     rect: int      # per-axis candidate-tile cap R for duplicate_entries
+    entries: int   # compact sorted-entry capacity (valid duplicates)
     e_chunks: int  # entry chunks of block_e (padded entries = e_chunks*block_e)
     c_chunks: int  # center chunks of block_n (padded centers = c_chunks*block_n)
     work_fwd: int  # center-chunk-major work items
@@ -446,6 +447,8 @@ def plan_pallas(cfg: SamplerConfig, means, radii, *, block_n: int = 32,
     ent = binning.duplicate_entries(
         cfg, jnp.asarray(means), jnp.asarray(rho), R, P * R ** D
     )
+    T = binning.num_tiles(cfg, D)
+    n_entries = int(jax.device_get(jnp.sum(ent[1] < T)))
     sb = binning.bin_samples(cfg, jnp.asarray(means))
     em = np.asarray(jax.device_get(chunked.chunk_counts(ent[2], block_e)))
     cm = np.asarray(jax.device_get(chunked.chunk_counts(sb.s_start, block_n)))
@@ -453,6 +456,7 @@ def plan_pallas(cfg: SamplerConfig, means, radii, *, block_n: int = 32,
     work_bwd = int((em * np.maximum(cm, 1)).sum())
     return cfg, AggPlan(
         rect=R,
+        entries=max(-(-n_entries // 128) * 128, 128),
         e_chunks=max(int(em.sum()), 1),
         c_chunks=max(int(cm.sum()), 1),
         work_fwd=max(work_fwd, 1),
@@ -490,7 +494,7 @@ def preprocess_pallas(
     r_eff, rho = _collision_geometry(cfg, radii)
 
     (gid, tile, start, shift, rect_of, ent_of) = binning.duplicate_entries(
-        cfg, means, rho, plan.rect, min(P * plan.rect ** D, Ep)
+        cfg, means, rho, plan.rect, min(P * plan.rect ** D, plan.entries)
     )
     sb = binning.bin_samples(cfg, means)
 
@@ -535,8 +539,11 @@ def preprocess_pallas(
         em, cm, ebase, cbase, plan.work_bwd, plan.c_chunks)
 
     # Per-center total density -> inv_total (aggregate_neighbors.cu:120-125).
+    # period=None: entries are pre-shifted to the periodic image their tile
+    # sees, so the raw offset IS the minimum-image displacement for every
+    # same-tile pair (compact footprints; see aggregate_pallas docstring).
     tot = kagg.totals(
-        D, cfg.period, (aux_f, col_f), ent_geo, ctr_pre,
+        D, None, (aux_f, col_f), ent_geo, ctr_pre,
         block_n=block_n, block_e=block_e,
     )
     inv_tot = 1.0 / (tot + 1e-6)
@@ -562,7 +569,7 @@ def aggregate_pallas(
     frequencies: jnp.ndarray,         # (nfreq,) or longer
     distance_transform: jnp.ndarray,  # (2E,)
     agg: AggBinning,
-    *, period: Optional[float] = 2.0,
+    *, period: Optional[float] = None,
     block_n: int = 32, block_e: int = 128,
 ) -> jnp.ndarray:
     """Forward aggregation through the Pallas kernels; differentiable in all
@@ -573,7 +580,15 @@ def aggregate_pallas(
     Numerically equal to ``aggregate`` over an exact (untruncated) neighbor
     table - the kernels enumerate every colliding pair, so there is no
     neighbor_capacity to overflow (agg.overflow reports binning/work-list
-    overflow instead)."""
+    overflow instead).
+
+    ``period=None`` (the default) is exact for periodic domains too:
+    preprocess_pallas shifts every entry's mean to the periodic image its
+    tile sees, so the raw offset IS the minimum-image displacement for all
+    same-tile pairs, and pairs beyond the collision radius are masked in
+    both conventions.  Pass the real period only for degenerate footprints
+    that cover the whole grid (plan.rect == max grid extent), where the
+    full-cover rect collapse emits unshifted entries."""
     from ..kernels import aggregate as kagg
 
     P, L = features.shape
@@ -624,9 +639,14 @@ def aggregate_pallas(
             ent_fk, ctr_geo, dtf, g, gsum,
             block_n=block_n, block_e=block_e,
         )
+        # By-gaussian reduction of the per-entry rows.  XLA fuses the
+        # lane->row transpose into its sorted-scatter lowering; a
+        # gather-compacted variant (drop pad rows first) measured slower -
+        # the standalone transpose+gather costs more than the scatter rows
+        # it saves.
         d = jax.ops.segment_sum(dent.T, agg.ent_gid, num_segments=P + 1)[:P]
-        # Per-item center slabs -> per-center-chunk sums (a ~5k-row scatter;
-        # the second pair sweep this replaces cost three orders more).
+        # Per-item center slabs -> per-center-chunk sums (a ~5k-row
+        # scatter), then un-chunk with a free reshape.
         W = agg.wl_bwd[0].shape[0]
         S = K + 2 * E + nfreq
         ctr_out = jax.ops.segment_sum(

@@ -77,7 +77,7 @@ def test_pallas_matches_xla_aggregation(rng, D):
         return aggregation.aggregate_pallas(
             p["features"], p["transform"], p["queries"], p["keys"],
             p["frequencies"], p["distance_transform"], agg,
-            period=cfg2.period, block_n=16, block_e=128,
+            period=None, block_n=16, block_e=128,
         )
 
     out_ref, g_ref = _outputs_and_grads(xla_fn, params)
@@ -120,7 +120,7 @@ def test_pallas_matches_xla_with_culled_and_open_domain(rng):
         params["features"], params["transform"], params["queries"],
         params["keys"], params["frequencies"],
         params["distance_transform"], agg,
-        period=cfg2.period, block_n=16, block_e=128)
+        period=None, block_n=16, block_e=128)
     np.testing.assert_allclose(
         out_got, out_ref, rtol=2e-4,
         atol=1e-5 * max(1.0, float(np.abs(np.asarray(out_ref)).max())))

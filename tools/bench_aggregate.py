@@ -109,7 +109,7 @@ def main():
     jax.block_until_ready(nbr)
 
     agg_fn = (functools.partial(aggregation.aggregate_pallas,
-                                period=cfg.period, block_n=bn, block_e=be)
+                                period=None, block_n=bn, block_e=be)
               if method == "pallas" else aggregation.aggregate)
 
     def loss(p, nbr):

@@ -68,7 +68,7 @@ def main():
         out = aggregation.aggregate_pallas(
             p["features"], p["transform"], p["queries"], p["keys"],
             p["frequencies"], p["distance_transform"], agg,
-            period=cfg.period, block_n=bn, block_e=be)
+            period=None, block_n=bn, block_e=be)
         return jnp.sum(out * out)
 
     STEPS = 5
