@@ -9,7 +9,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 (50M samples/s/chip - see "Targets" there; the reference publishes no numbers,
 BASELINE.json "published": {}).
 
-Env overrides: BENCH_P, BENCH_N, BENCH_STEPS, BENCH_METHOD, BENCH_TILE.
+Env overrides: BENCH_P, BENCH_N, BENCH_STEPS, BENCH_METHOD, BENCH_TILE,
+BENCH_ORDERS (comma list; "value,derivative,laplacian,third" is the
+reference's full per-step workload, SURVEY.md 3.5).
 """
 
 import functools
@@ -28,7 +30,9 @@ from dgs_tpu.utils import native
 
 TARGET_SAMPLES_PER_SEC = 50e6  # recorded target, see BASELINE.md
 
-ORDERS = ("value", "derivative", "laplacian")
+ORDERS = tuple(
+    os.environ.get("BENCH_ORDERS", "value,derivative,laplacian").split(",")
+)
 
 
 def main():
@@ -78,25 +82,42 @@ def main():
         block_p_bwd=int(os.environ.get(
             "BENCH_BBP", 256 if D == 3 else blocks.bwd_blocks[1])),
     )
-    plan = native.plan_capacities(cfg, field.means, field.covariances(),
-                                  samples)
+    if method == "chunked":
+        from dgs_tpu.ops import sampling_chunked
+
+        # Plan on the host CPU backend: the eager plan does device_get, and
+        # the first device->host transfer over the tunnel is pathological.
+        with jax.default_device(cpu):
+            cfg, cplan = sampling_chunked.plan_chunked(
+                cfg, field.means, field.covariances(), samples)
+    else:
+        plan = native.plan_capacities(cfg, field.means, field.covariances(),
+                                      samples)
+        cfg = native.config_from_plan(cfg, plan, P)
     dev = jax.devices()[0]
     field = jax.device_put(field, dev)
     samples = jax.device_put(samples, dev)
-    cfg = native.config_from_plan(cfg, plan, P)
 
     def loss_fn(field, samples, sb):
         # Sum-of-squares over the FULL symmetric tensors, computed from the
         # unique components with their mirror multiplicities (permutation
         # invariant -> also keep outputs tile-sorted, block-padded (pad rows
         # are zero); all three skip epilogues without changing the value).
-        tiled = method == "tiled"
-        outs, diag = field_outputs(cfg, field, samples, orders=ORDERS,
-                                   method=method, sorted_outputs=tiled,
-                                   unique_outputs=tiled, padded_outputs=tiled,
-                                   sample_binning=sb)
+        packed = method in ("tiled", "chunked")
+        if method == "chunked":
+            from dgs_tpu.ops import sampling_chunked
+
+            outs, diag = sampling_chunked.sample_chunked(
+                cfg, field.means, field.values, field.conics(),
+                field.covariances(), samples, cplan, sb, ORDERS,
+                padded_outputs=True)
+        else:
+            outs, diag = field_outputs(
+                cfg, field, samples, orders=ORDERS, method=method,
+                sorted_outputs=packed, unique_outputs=packed,
+                padded_outputs=packed, sample_binning=sb)
         diag = {k: v for k, v in diag.items() if k != "perm"}
-        if tiled:
+        if packed:
             from dgs_tpu.ops import formulas
 
             # padded outputs are lane-major (n_unique, C, Np).
@@ -138,8 +159,14 @@ def main():
     # reference does - SURVEY.md 3.5).
     from dgs_tpu.binning import grid as binning
 
-    sb = (jax.jit(binning.bin_samples, static_argnums=0)(cfg, samples)
-          if method == "tiled" else None)
+    if method == "chunked":
+        from dgs_tpu.ops import sampling_chunked
+
+        sb = sampling_chunked.chunk_samples(cfg, samples, cplan, cfg.block_n)
+    elif method == "tiled":
+        sb = jax.jit(binning.bin_samples, static_argnums=0)(cfg, samples)
+    else:
+        sb = None
 
     # Warmup / compile.
     field_w, (loss, diag) = run(field, samples, sb, steps)

@@ -72,17 +72,21 @@ int dgs_plan_capacities(
     const float* means, const float* covariances, const float* samples,
     int64_t P, int64_t N, int32_t D,
     double lower0, double lower1, double lower2,
-    double tile_size, double period, int32_t periodic,
+    double extent0, double extent1, double extent2,
+    double tile_size, int32_t periodic,
     double radius_sigma, double eig_floor,
     int32_t block_n, int32_t block_e, int32_t block_e_b, int32_t block_n_b,
     int64_t* out) {
   if (D < 1 || D > 3 || P < 0 || N < 0) return 1;
   const double lower[3] = {lower0, lower1, lower2};
+  // Per-axis world extents (anisotropic open boxes are first-class; the
+  // periodic torus passes the period on every axis) - mirrors
+  // SamplerConfig.grid_shape.
+  const double extent[3] = {extent0, extent1, extent2};
   int64_t grid[3] = {1, 1, 1};
-  double extent_world = periodic ? period : period /* upper-lower via period */;
   int64_t T = 1;
   for (int d = 0; d < D; ++d) {
-    grid[d] = (int64_t)std::ceil((extent_world + 1e-6) / tile_size);
+    grid[d] = (int64_t)std::ceil((extent[d] + 1e-6) / tile_size);
     T *= grid[d];
   }
   const int tri = D * (D + 1) / 2;

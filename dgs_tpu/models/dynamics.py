@@ -70,12 +70,22 @@ def advection_diffusion_solution(D: int, kappa: float = 0.05,
     return u_star
 
 
-def rollout_step(params: DynamicsParams, values, nbr: aggregation.Neighbors):
-    """values <- values + aggregate(values)  (residual dynamics update)."""
-    return values + aggregation.aggregate(
-        values, params.transform, params.queries, params.keys,
-        params.frequencies, params.distance_transform, nbr,
-    )
+def rollout_step(params: DynamicsParams, values, nbr):
+    """values <- values + aggregate(values)  (residual dynamics update).
+    Dispatches on the neighbor structure: the XLA table path
+    (aggregation.Neighbors) or the Pallas chunked-pair-sweep path
+    (aggregation.AggBinning)."""
+    if isinstance(nbr, aggregation.AggBinning):
+        agg = aggregation.aggregate_pallas(
+            values, params.transform, params.queries, params.keys,
+            params.frequencies, params.distance_transform, nbr,
+        )
+    else:
+        agg = aggregation.aggregate(
+            values, params.transform, params.queries, params.keys,
+            params.frequencies, params.distance_transform, nbr,
+        )
+    return values + agg
 
 
 def fit_values(cfg: SamplerConfig, field: GaussianField, target: Callable,
@@ -111,11 +121,15 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
           rollout: int = 3, dt: float = 0.05, sigma: float = 0.12,
           learning_rate: float = 3e-3, n_eval: int = 2048, seed: int = 0,
           neighbor_capacity: int = 64, kappa: float = 0.05,
-          log_every: int = 50, logger=None):
+          log_every: int = 50, logger=None, method: str = "grid"):
     """Train the dynamics net to roll the field forward in time.
 
     Returns (params, history).  loss = mean over rollout steps r of
     mean((u_model(x, r*dt) - u*(x, r*dt))^2) at fresh sample points.
+
+    ``method``: "grid" (XLA neighbor-table path) or "pallas" (the chunked
+    pair-sweep kernels - the production path at large P, where the table
+    path's (P, NC, .) HBM traffic dominates).
     """
     u_star = advection_diffusion_solution(D, kappa=kappa)
     key = jax.random.PRNGKey(seed)
@@ -126,9 +140,18 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
     rad = compute_radii(field.covariances(), D, cfg.radius_sigma,
                         cfg.eig_floor)
     conics = field.conics()
-    nbr = aggregation.preprocess_grid(
-        cfg.with_dims(D), field.means, conics, rad, neighbor_capacity
-    )
+    if method == "pallas":
+        import functools
+
+        cfg_a, aplan = aggregation.plan_pallas(
+            cfg.with_dims(D), field.means, rad)
+        nbr = jax.jit(functools.partial(
+            aggregation.preprocess_pallas, cfg_a, plan=aplan
+        ))(field.means, conics, rad)
+    else:
+        nbr = aggregation.preprocess_grid(
+            cfg.with_dims(D), field.means, conics, rad, neighbor_capacity
+        )
     params = init_dynamics_params(k_params, P, 1, D)
     opt = optax.adam(learning_rate)
 

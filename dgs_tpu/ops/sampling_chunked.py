@@ -1,0 +1,284 @@
+"""Chunk-packed tile-binned sampling (the high-density sibling of
+ops/sampling.sample_binned).
+
+Same semantics as the tiled path - a pair counts iff the Gaussian's
+3-sigma rect covers the sample's tile (forward.cu:104-144 pairing) - but
+both sides of the pair sweep are padded per tile (binning/chunked.py) so
+every work item is a same-tile (sample-chunk x entry-chunk) pair.  The
+range-overlap work list of sample_tiled_multi pays cross-tile slack
+whenever per-tile occupancy is small compared to the block size; chunk
+packing removes it, which unlocks FINE tiles: shrinking the tile cuts the
+same-tile candidate count toward the true 3-sigma neighborhood (the
+candidate-pair total scales like (2r + tile)^D), where the range list's
+density would collapse.  This is what takes D=3 - whose footprint/tile
+geometry forces low occupancy - from its round-1 cliff to parity.
+
+The Pallas kernels are kernels/tiled.py VERBATIM: chunked.work_list emits
+the same (aux = row*4 + first*2 + compute, col) encoding; only the operand
+layouts (chunk-padded instead of contiguous) and the capacity planning
+differ.  Gradients flow to (means, values, conics) only - the reference's
+autograd contract (__init__.py:113-126) - via the same custom-vjp +
+deterministic by-gaussian segment-sum structure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SamplerConfig, n_components, out_shape, tri_size
+from . import formulas
+
+COMPRESS_LIMIT = 120_000  # kernels/tiled.COMPRESS_ABOVE: chunked lists must
+                          # stay below it (they carry no compressed form)
+
+
+class ChunkPlan(NamedTuple):
+    """Static capacities for the chunked sampling path (hashable: usable as
+    a jit static argument).  Measured exactly by plan_chunked from one eager
+    geometry build; in-graph overflow counters guard drift."""
+
+    rect: int      # per-axis candidate-tile cap R for duplicate_entries
+    entries: int   # compact sorted-entry capacity
+    e_chunks: int  # entry chunks of block_e
+    s_chunks: int  # sample chunks of block_n
+    work_fwd: int  # sample-chunk-major work items
+    work_bwd: int  # entry-chunk-major work items
+
+
+class ChunkedSamples(NamedTuple):
+    """Chunk-padded sample side - parameter-independent, built once per
+    sample set (the analogue of binning.grid.SampleBinning)."""
+
+    s_coords: jnp.ndarray  # (D, Nsp) padded tile-sorted coords
+    s_tile: jnp.ndarray    # (1, Nsp) int32, 2**30+1 on pad slots
+    pos: jnp.ndarray       # (N,) padded slot of each original sample
+    cm: jnp.ndarray        # (T,) sample chunks per tile
+    cbase: jnp.ndarray     # (T,) first sample chunk of each tile
+    overflow: jnp.ndarray  # () int32 chunk-capacity overflow
+
+
+def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
+                 *, block_n: Optional[int] = None,
+                 block_e: Optional[int] = None,
+                 headroom: float = 1.0):
+    """Host-side capacity plan: exact chunk/work capacities measured from
+    one eager geometry build (the chunked-path analogue of
+    utils.native.plan_capacities).
+
+    ``headroom > 1`` scales every capacity for training drift (parameters
+    move, collocation points resample).  Chunks beyond the used total are
+    never written by any work item, so the UNSORTED output path is
+    headroom-safe; ``padded_outputs`` consumers must either use exact
+    capacities or mask with a validity vector (pad-chunk columns are
+    uninitialized HBM).  Work items beyond the used total are no-compute.
+    Overflow diagnostics still flag any drift past the scaled capacities."""
+    import numpy as np
+
+    from ..binning import chunked
+    from ..binning import grid as binning
+    from ..oracle.dense import radii as compute_radii
+
+    P, D = means.shape
+    cfg = cfg.with_dims(D)
+    bn = block_n or cfg.block_n
+    be = block_e or cfg.block_p
+    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    lo, hi = binning.gaussian_rects(cfg, means, rad)
+    R = max(int(jax.device_get(jnp.max(hi - lo))), 1)
+    ent = binning.duplicate_entries(cfg, means, rad, R, P * R ** D)
+    T = binning.num_tiles(cfg, D)
+    n_entries = int(jax.device_get(jnp.sum(ent[1] < T)))
+    sb = binning.bin_samples(cfg, samples)
+    em = np.asarray(jax.device_get(chunked.chunk_counts(ent[2], be)))
+    sm = np.asarray(jax.device_get(chunked.chunk_counts(sb.s_start, bn)))
+    work_fwd = int((sm * np.maximum(em, 1)).sum() * headroom)
+    work_bwd = int((em * np.maximum(sm, 1)).sum() * headroom)
+    if max(work_fwd, work_bwd) > COMPRESS_LIMIT:
+        raise ValueError(
+            f"chunked work list ({work_fwd}/{work_bwd} items) exceeds the "
+            f"scalar-SMEM budget ({COMPRESS_LIMIT}); coarsen tile_size or "
+            "enlarge the blocks"
+        )
+    return cfg, ChunkPlan(
+        rect=R,
+        entries=max(-(-int(n_entries * headroom) // 128) * 128, 128),
+        e_chunks=max(int(em.sum() * headroom), 1),
+        s_chunks=max(int(sm.sum() * headroom), 1),
+        work_fwd=max(work_fwd, 1),
+        work_bwd=max(work_bwd, 1),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3),
+                   static_argnames=("plan", "block_n"))
+def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
+                  block_n: int, sample_binning=None) -> ChunkedSamples:
+    """Build the chunk-padded sample side (once per sample set)."""
+    from ..binning import chunked
+    from ..binning import grid as binning
+
+    N, D = samples.shape
+    cfg = cfg.with_dims(D)
+    sb = sample_binning if sample_binning is not None else binning.bin_samples(
+        cfg, samples)
+    csrc, cvalid, stile, _, cbase, cm, s_of = chunked.chunk_layout(
+        sb.s_start, block_n, plan.s_chunks)
+    Nsp = plan.s_chunks * block_n
+    coords = sb.s_sorted.T[csrc].T                       # (D, Nsp)
+    s_tile = jnp.where(cvalid, stile, jnp.int32(2**30 + 1))[None, :]
+    cid = jnp.where(cvalid, sb.s_perm[csrc], N)
+    pos = jnp.zeros((N + 1,), jnp.int32).at[cid].set(
+        jnp.arange(Nsp, dtype=jnp.int32), mode="drop"
+    )[:N]
+    return ChunkedSamples(
+        s_coords=coords, s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
+        overflow=s_of,
+    )
+
+
+def sample_chunked_multi(
+    orders: Tuple[str, ...],
+    cfg: SamplerConfig,
+    means, values, conics, radii,
+    cs: ChunkedSamples,
+    plan: ChunkPlan,
+    *,
+    block_n: int, block_e: int,
+    unique_outputs: bool = False,
+    padded_outputs: bool = False,
+):
+    """Fused multi-order evaluation over the chunk-packed binning.
+
+    Returns (outputs tuple, diagnostics dict).  With ``padded_outputs``
+    each order comes back in the kernels' raw lane-major layout
+    ((n_unique, C, Nsp) canonical components, chunk-padded tile-sorted
+    columns, pad columns zero); otherwise outputs are un-sorted to sample
+    order via one row gather.  All overflow diagnostics must be zero for
+    exact results."""
+    from ..binning import chunked
+    from ..binning import grid as binning
+    from ..kernels import tiled as ktiled
+
+    P, D = means.shape
+    C = values.shape[1]
+    tri = tri_size(D)
+    cfg = cfg.with_dims(D)
+    N = cs.pos.shape[0]
+    Nsp = cs.s_coords.shape[1]
+    Ep = plan.e_chunks * block_e
+
+    (gid, tile, start, shift, rect_of, ent_of) = binning.duplicate_entries(
+        cfg, means, radii, plan.rect, min(P * plan.rect ** D, plan.entries)
+    )
+    esrc, evalid, etile, _, ebase, em, e_of = chunked.chunk_layout(
+        start, block_e, plan.e_chunks)
+    packed = jnp.where(gid < P, gid * 64 + shift, jnp.int32(P) * 64)
+    pk = jnp.where(evalid, packed[esrc], jnp.int32(P) * 64)
+    gid_pad = pk // 64
+    shift_pad = pk - gid_pad * 64
+    tile_pad = jnp.where(evalid, etile, jnp.int32(2**30))[None, :]
+
+    aux_f, col_f, wf_of = chunked.work_list(
+        cs.cm, em, cs.cbase, ebase, plan.work_fwd, plan.e_chunks)
+    aux_b, col_b, wb_of = chunked.work_list(
+        em, cs.cm, ebase, cs.cbase, plan.work_bwd, plan.s_chunks)
+    wl_f = (aux_f, col_f, col_f, col_f)   # [2:] unused below COMPRESS_ABOVE
+    wl_b = (aux_b, col_b, col_b, col_b)
+
+    # Entries are pre-shifted to their periodic image (prepare_entries
+    # semantics), so the kernels run wrap-free when the config certifies
+    # compact footprints.
+    kernel_period = None if cfg.unwrapped_kernels else cfg.period
+
+    def _prepare(m, v, c):
+        params = jnp.concatenate([m, c, v], axis=1)      # (P, NPARAM)
+        params = jnp.concatenate(
+            [params, jnp.zeros((1, params.shape[1]), params.dtype)], 0)
+        ent = params[gid_pad]                            # (Ep, NPARAM)
+        if cfg.period is not None:
+            k = jnp.stack(
+                [((shift_pad >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
+            ).astype(ent.dtype)
+            ent = ent.at[:, :D].add(-cfg.period * k)
+        return gid_pad, tile_pad, ent.T, Ep
+
+    smp = (cs.s_coords, cs.s_tile, Nsp)
+
+    @jax.custom_vjp
+    def f(m, v, c):
+        ent = _prepare(m, v, c)
+        return ktiled.tiled_forward(
+            orders, kernel_period, D, C, wl_f, ent, smp,
+            block_n=block_n, block_e=block_e,
+        )                     # (K*C, Nsp); pad columns are zero
+
+    def f_fwd(m, v, c):
+        return f(m, v, c), _prepare(m, v, c)
+
+    def f_bwd(ent, g):
+        dent = ktiled.tiled_backward(
+            orders, kernel_period, D, C, wl_b, ent, smp, g.T, g,
+            block_n=block_n, block_e=block_e,
+        )
+        d = jax.ops.segment_sum(dent.T, ent[0], num_segments=P + 1)[:P]
+        return d[:, :D], d[:, D + tri:], d[:, D:D + tri]
+
+    f.defvjp(f_fwd, f_bwd)
+    packed_t = f(means, values, conics)    # (K*C, Nsp)
+
+    if not padded_outputs:
+        out = packed_t.T[cs.pos]           # (N, K*C) in sample order
+
+    # Mirror the kernels' unique (canonical i<=j<=k) components into the
+    # full symmetric tensors OUTSIDE the custom_vjp (the transpose folds the
+    # duplicated positions' cotangents into the unique slots - see
+    # sample_tiled_multi).
+    outs, k0 = [], 0
+    for order in orders:
+        nu = formulas.n_unique(order, D)
+        if padded_outputs:
+            outs.append(packed_t[k0 * C:(k0 + nu) * C, :].reshape(nu, C, -1))
+            k0 += nu
+            continue
+        block = out[:, k0 * C:(k0 + nu) * C].reshape(N, nu, C)
+        if unique_outputs:
+            outs.append(block)
+        else:
+            fmap = formulas.full_to_unique(order, D)
+            if len(fmap) != nu:
+                block = block[:, jnp.asarray(fmap, jnp.int32), :]
+            outs.append(block.reshape(out_shape(order, N, D, C)))
+        k0 += nu
+
+    diag = {
+        "perm": None,
+        "bin_overflow": rect_of,
+        "entry_overflow": ent_of + e_of,
+        "work_overflow_fwd": wf_of,
+        "work_overflow_bwd": wb_of + cs.overflow,
+    }
+    return tuple(outs), diag
+
+
+def sample_chunked(cfg, means, values, conics, covariances, samples,
+                   plan: ChunkPlan, cs: ChunkedSamples,
+                   orders: Tuple[str, ...],
+                   *, unique_outputs: bool = False,
+                   padded_outputs: bool = False):
+    """Binned-evaluation entry point matching sample_binned's contract:
+    (outputs dict, diagnostics dict), radii derived from covariances."""
+    from ..oracle.dense import radii as compute_radii
+
+    D = means.shape[1]
+    cfg = cfg.with_dims(D)
+    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    outs, diag = sample_chunked_multi(
+        tuple(orders), cfg, means, values, conics, rad, cs, plan,
+        block_n=cfg.block_n, block_e=cfg.block_p,
+        unique_outputs=unique_outputs, padded_outputs=padded_outputs,
+    )
+    return dict(zip(orders, outs)), diag

@@ -89,19 +89,27 @@ def sharded_sample_all(cfg: SamplerConfig, mesh: Mesh,
 def make_sharded_pigs_step(cfg: SamplerConfig, mesh: Mesh, optimizer,
                            f_rhs, u_star, *, n_collocation: int = 4096,
                            method: str = "tiled",
-                           w_pde: float = 1.0, w_data: float = 1.0):
+                           w_pde: float = 1.0, w_data: float = 1.0,
+                           grad_chunks: int = 1):
     """Sharded PIGS training step.
 
     Gaussian parameters and optimizer state are replicated (data-parallel);
     collocation points are sharded over the full mesh.  The loss is the
     global mean (psum over shards), so jax.grad's transpose inserts the
-    gradient all-reduce automatically - XLA overlaps it with the remaining
-    backward work (latency-hiding scheduler).
+    gradient all-reduce automatically.
+
+    ``grad_chunks > 1`` splits each shard's collocation batch into that many
+    microbatches, each contributing its OWN gradient all-reduce: chunk k's
+    reduction is independent of chunk k+1's backward compute, so XLA's
+    latency-hiding scheduler can overlap communication with the remaining
+    backward work (SURVEY.md section 7: "chunk backward over sample shards,
+    issue psum per chunk").  The summed result equals the unchunked
+    gradient over the union of the chunks' collocation points.
     """
     from ..models import pigs
 
     n_shards = mesh.devices.size
-    assert n_collocation % n_shards == 0
+    assert n_collocation % (n_shards * grad_chunks) == 0
 
     def step(state: pigs.TrainState, key):
         D = state.field.D
@@ -116,27 +124,48 @@ def make_sharded_pigs_step(cfg: SamplerConfig, mesh: Mesh, optimizer,
         def loss_and_grad(field, keys):
             k1, k2 = jax.random.split(keys[0])
             n_local = n_collocation // n_shards
-            collocation = jax.random.uniform(
-                k1, (n_local, D), minval=-1.0, maxval=1.0
-            )
             data_x = jax.random.uniform(
                 k2, (max(n_local // 4, 1), D), minval=-1.0, maxval=1.0
             )
             data_u = u_star(data_x)
 
-            def local_loss(f):
-                loss, metrics = pigs.pigs_loss(
-                    cfg, f, collocation, data_x, data_u, f_rhs,
-                    w_pde=w_pde, w_data=w_data, method=method,
+            def chunk_grad(k):
+                collocation = jax.random.uniform(
+                    k, (n_local // grad_chunks, D), minval=-1.0, maxval=1.0
                 )
-                return loss, metrics
 
-            (loss, metrics), grads = jax.value_and_grad(
-                local_loss, has_aux=True
-            )(field)
-            # Per-shard losses/grads -> global mean over every mesh axis.
-            grads = jax.tree.map(
-                lambda g: jax.lax.pmean(g, ("data", "model")), grads
+                def local_loss(f):
+                    loss, metrics = pigs.pigs_loss(
+                        cfg, f, collocation, data_x, data_u, f_rhs,
+                        w_pde=w_pde, w_data=w_data, method=method,
+                    )
+                    return loss, metrics
+
+                (loss, metrics), grads = jax.value_and_grad(
+                    local_loss, has_aux=True
+                )(field)
+                # Per-chunk all-reduce: issued as soon as this chunk's
+                # backward finishes, overlapping the next chunk's compute.
+                grads = jax.tree.map(
+                    lambda g: jax.lax.pmean(g, ("data", "model")), grads
+                )
+                return metrics, grads
+
+            # grad_chunks == 1 must reproduce the unchunked RNG stream
+            # exactly (the model-sharded step draws collocation from k1).
+            ks = [k1] if grad_chunks == 1 else jax.random.split(
+                k1, grad_chunks)
+            # Python-unrolled (not lax.scan): each chunk's collective must
+            # be a distinct HLO op for the scheduler to overlap them.
+            metrics, grads = chunk_grad(ks[0])
+            for i in range(1, grad_chunks):
+                m_i, g_i = chunk_grad(ks[i])
+                grads = jax.tree.map(jnp.add, grads, g_i)
+                metrics = jax.tree.map(jnp.add, metrics, m_i)
+            inv = 1.0 / grad_chunks
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            metrics = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float32) * inv, metrics
             )
             metrics = jax.tree.map(
                 lambda x: jax.lax.pmean(

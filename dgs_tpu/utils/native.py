@@ -87,6 +87,9 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
     lib = _load()
     if lib is not None:
         out = (ctypes.c_int64 * 10)()
+        extents = ([cfg.period] * 3 if cfg.period is not None
+                   else [u - l for l, u in zip(cfg.lower, cfg.upper)] +
+                   [0.0] * (3 - D))
         rc = lib.dgs_plan_capacities(
             means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             covs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -94,11 +97,11 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
             ctypes.c_int64(P), ctypes.c_int64(N), ctypes.c_int32(D),
             ctypes.c_double(lower[0]), ctypes.c_double(lower[1]),
             ctypes.c_double(lower[2]),
+            # Per-axis world extents (anisotropic open boxes); wrap behavior
+            # is the separate flag.
+            ctypes.c_double(extents[0]), ctypes.c_double(extents[1]),
+            ctypes.c_double(extents[2]),
             ctypes.c_double(cfg.tile_size),
-            # The C planner takes the world extent here (wrap behavior is the
-            # separate flag); open domains pass upper - lower.
-            ctypes.c_double(cfg.period if cfg.period is not None
-                            else cfg.upper[0] - cfg.lower[0]),
             ctypes.c_int32(1 if cfg.period is not None else 0),
             ctypes.c_double(cfg.radius_sigma), ctypes.c_double(cfg.eig_floor),
             ctypes.c_int32(bn), ctypes.c_int32(be),

@@ -102,3 +102,35 @@ def test_planner_cpp_matches_numpy_both_domains(rng):
                   "work_items_fwd", "work_items_bwd", "culled",
                   "occupied_tiles"):
             assert plan_c[k] == plan_np[k], (period, k, plan_c[k], plan_np[k])
+
+
+def test_anisotropic_open_box_plan_matches_numpy(rng):
+    """Per-axis extents through the C planner: a (2 x 1 x 0.5) open box must
+    produce the same plan as the numpy fallback (which uses the per-axis
+    grid of SamplerConfig.grid_shape)."""
+    import numpy as np
+    from conftest import make_gaussians
+
+    P, N, D = 300, 800, 3
+    means, _, covs, _ = make_gaussians(rng, P, D, 1, sigma_range=(0.03, 0.08))
+    # Anisotropic box [-1,1] x [-0.5,0.5] x [-0.25,0.25]
+    means = np.asarray(means) * np.array([[1.0, 0.5, 0.25]], np.float32)
+    samples = (rng.uniform(-1.0, 1.0, (N, D)).astype(np.float32)
+               * np.array([[1.0, 0.5, 0.25]], np.float32))
+    cfg = SamplerConfig(
+        period=None, lower=(-1.0, -0.5, -0.25),
+        upper_bounds=(1.0, 0.5, 0.25), tile_size=0.11,
+        max_tiles_per_gaussian=8, eig_floor=1e-12,
+    )
+    if native._load() is None:
+        import pytest
+        pytest.skip("native planner unavailable")
+    plan_c = native.plan_capacities(cfg, jnp.asarray(means), covs,
+                                    jnp.asarray(samples))
+    bn, be = cfg.block_n, cfg.block_p
+    bbn, bbe = cfg.bwd_blocks
+    plan_np = native._plan_capacities_numpy(
+        cfg, jnp.asarray(means), covs, jnp.asarray(samples), bn, be, bbn, bbe)
+    for k in ("entries", "max_extent", "max_tile_entries",
+              "max_tile_samples", "culled", "occupied_tiles"):
+        assert plan_c[k] == plan_np[k], (k, plan_c[k], plan_np[k])

@@ -213,3 +213,43 @@ def test_sharded_step_compiles_collectives():
     )
     txt_m = step_m.lower(state_m, jax.random.PRNGKey(1)).compile().as_text()
     assert "all-reduce" in txt_m
+
+
+def test_chunked_grad_allreduce_overlap_structure():
+    """grad_chunks=M must EMIT M distinct gradient all-reduces (one per
+    microbatch, each independent of the later chunks' backward compute -
+    the structure XLA's latency-hiding scheduler overlaps on real
+    multi-chip hardware; SURVEY.md section 7), and the step must still
+    learn.  Counted on the pre-optimization lowering: the backend's
+    combiner pass may later merge small reductions (it does on the CPU
+    mesh, where tensors are tiny and combining beats overlap - that
+    choice is the scheduler's, driven by the combine-threshold flags)."""
+    mesh = pmesh.make_mesh((4, 2))
+    cfg = SamplerConfig()
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(0), 64, 2, 1, sigma=0.25)
+    opt = optax.adam(1e-2)
+    state = pigs.TrainState(field, opt.init(field), jnp.zeros((), jnp.int32))
+    state = pmesh.replicate(state, mesh)
+
+    def n_allreduce(step):
+        txt = step.lower(state, jax.random.PRNGKey(1)).as_text()
+        return txt.count("stablehlo.all_reduce")
+
+    step1 = pmesh.make_sharded_pigs_step(
+        cfg, mesh, opt, f_rhs, u_star, n_collocation=256, method="dense",
+        grad_chunks=1)
+    step4 = pmesh.make_sharded_pigs_step(
+        cfg, mesh, opt, f_rhs, u_star, n_collocation=256, method="dense",
+        grad_chunks=4)
+    n1, n4 = n_allreduce(step1), n_allreduce(step4)
+    assert n4 >= n1 + 3, (n1, n4)
+
+    key = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step4(state, sub)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
