@@ -88,21 +88,75 @@ def rollout_step(params: DynamicsParams, values, nbr):
     return values + agg
 
 
+def make_value_eval(cfg: SamplerConfig, field: GaussianField,
+                    eval_method: str = "dense", n_eval: int = 4096):
+    """(values, x) -> u(x) evaluator for a fixed cloud geometry, for
+    batches of ``n_eval`` points.
+
+    "dense" materializes (N, P) pair arrays - fine for small P;
+    "tiled" routes through the binned Pallas sampler with capacities
+    planned from the geometry and an ``n_eval``-sized probe (the only
+    viable path at 100k+ Gaussians, where dense pair arrays are tens of
+    GB).  Sample points may differ per call (sample_binned re-bins
+    in-trace); a fresh random batch is probed eagerly once and must show
+    zero overflow."""
+    conics = field.conics()
+    if eval_method == "dense":
+        def eval_u(values, x):
+            return sampling.sample_dense(
+                "value", field.means, values, conics, x, period=cfg.period
+            )
+        return eval_u
+
+    import dataclasses
+
+    from ..utils import native
+
+    covs = field.covariances()
+    probe = jax.random.uniform(
+        jax.random.PRNGKey(17), (n_eval, field.D), minval=-1.0, maxval=1.0)
+    plan = native.plan_capacities(cfg, field.means, covs, probe)
+    cfg_s = native.config_from_plan(cfg, plan, field.means.shape[0])
+    # Resampled eval points shift per-tile occupancy; pad the sweep caps.
+    cfg_s = dataclasses.replace(
+        cfg_s,
+        work_items_fwd=None, work_items_bwd=None,
+        work_blocks_fwd=max(int(plan["work_blocks_fwd"]) * 4, 16),
+        work_blocks_bwd=max(int(plan["work_blocks_bwd"]) * 4, 32),
+    )
+
+    def eval_u(values, x):
+        outs, _ = sampling.sample_binned(
+            cfg_s, field.means, values, conics, covs, x, ("value",))
+        return outs["value"]
+
+    # One eager probe on a fresh batch: the capacities must hold for
+    # resampled points, not just the planning probe.
+    check = jax.random.uniform(
+        jax.random.PRNGKey(18), (n_eval, field.D), minval=-1.0, maxval=1.0)
+    _, diag = sampling.sample_binned(
+        cfg_s, field.means, field.values, conics, covs, check, ("value",))
+    bad = {k: int(v) for k, v in diag.items()
+           if k != "perm" and int(v) != 0}
+    if bad:
+        raise ValueError(f"tiled value eval overflows on a fresh batch: "
+                         f"{bad}; enlarge the sweep caps")
+    return eval_u
+
+
 def fit_values(cfg: SamplerConfig, field: GaussianField, target: Callable,
                *, steps: int = 200, lr: float = 5e-2, n_fit: int = 4096,
-               key=None) -> GaussianField:
+               key=None, eval_method: str = "dense") -> GaussianField:
     """Least-squares fit of the per-Gaussian values to a target field at
     t=0 (means/covariances stay fixed)."""
     key = key if key is not None else jax.random.PRNGKey(3)
     x = jax.random.uniform(key, (n_fit, field.D), minval=-1.0, maxval=1.0)
     y = target(x)
-    conics = field.conics()
+    eval_u = make_value_eval(cfg, field, eval_method, n_eval=n_fit)
     opt = optax.adam(lr)
 
     def loss_fn(values):
-        u = sampling.sample_dense(
-            "value", field.means, values, conics, x, period=cfg.period
-        )
+        u = eval_u(values, x)
         return jnp.mean((u - y) ** 2)
 
     @jax.jit
@@ -121,7 +175,8 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
           rollout: int = 3, dt: float = 0.05, sigma: float = 0.12,
           learning_rate: float = 3e-3, n_eval: int = 2048, seed: int = 0,
           neighbor_capacity: int = 64, kappa: float = 0.05,
-          log_every: int = 50, logger=None, method: str = "grid"):
+          log_every: int = 50, logger=None, method: str = "grid",
+          eval_method: str = "dense"):
     """Train the dynamics net to roll the field forward in time.
 
     Returns (params, history).  loss = mean over rollout steps r of
@@ -129,14 +184,16 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
 
     ``method``: "grid" (XLA neighbor-table path) or "pallas" (the chunked
     pair-sweep kernels - the production path at large P, where the table
-    path's (P, NC, .) HBM traffic dominates).
+    path's (P, NC, .) HBM traffic dominates).  ``eval_method``: "dense" or
+    "tiled" (required at large P - see make_value_eval).
     """
     u_star = advection_diffusion_solution(D, kappa=kappa)
     key = jax.random.PRNGKey(seed)
     key, k_field, k_params = jax.random.split(key, 3)
 
     field = init_field(k_field, P, D, 1, sigma=sigma)
-    field = fit_values(cfg, field, lambda x: u_star(x, 0.0))
+    field = fit_values(cfg, field, lambda x: u_star(x, 0.0),
+                       eval_method=eval_method)
     rad = compute_radii(field.covariances(), D, cfg.radius_sigma,
                         cfg.eig_floor)
     conics = field.conics()
@@ -154,21 +211,23 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
         )
     params = init_dynamics_params(k_params, P, 1, D)
     opt = optax.adam(learning_rate)
+    eval_u = make_value_eval(cfg, field, eval_method, n_eval=n_eval)
 
     def loss_fn(params, key):
-        def body(values, r):
+        # Python-unrolled rollout (a handful of steps): a lax.scan body
+        # here would put the binned sampler's custom-vjp closures behind a
+        # scan trace boundary, which leaks their work-list tracers into the
+        # outer grad trace.
+        values, errs = field.values, []
+        for r in range(rollout):
             values = rollout_step(params, values, nbr)
             x = jax.random.uniform(
                 jax.random.fold_in(key, r), (n_eval, D),
                 minval=-1.0, maxval=1.0,
             )
-            u = sampling.sample_dense(
-                "value", field.means, values, conics, x, period=cfg.period
-            )
-            err = jnp.mean((u - u_star(x, (r + 1.0) * dt)) ** 2)
-            return values, err
-        _, errs = jax.lax.scan(body, field.values, jnp.arange(rollout))
-        return jnp.mean(errs)
+            u = eval_u(values, x)
+            errs.append(jnp.mean((u - u_star(x, (r + 1.0) * dt)) ** 2))
+        return jnp.mean(jnp.stack(errs))
 
     @jax.jit
     def step(params, opt_state, key):

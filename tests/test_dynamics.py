@@ -54,3 +54,19 @@ def test_rollout_step_differentiable_through_scan():
     # At least transform/queries/keys must receive signal.
     assert float(jnp.abs(grads.transform).sum()) > 0
     assert float(jnp.abs(grads.queries).sum()) > 0
+
+
+def test_dynamics_pallas_aggregation_with_tiled_eval_learns():
+    """The large-P production combination: Pallas chunked aggregation
+    kernels for the dynamics layer + binned Pallas sampler for the rollout
+    evaluation (dense pair arrays are tens of GB at 100k Gaussians)."""
+    from dgs_tpu.config import SamplerConfig
+    from dgs_tpu.models import dynamics
+
+    params, hist = dynamics.train(
+        SamplerConfig(eig_floor=1e-12), P=300, D=2, steps=30, rollout=2,
+        sigma=0.12, n_eval=512, method="pallas", eval_method="tiled",
+        log_every=10,
+    )
+    assert hist[-1]["nbr_overflow"] == 0
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.7, [h["loss"] for h in hist]
