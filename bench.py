@@ -168,18 +168,31 @@ def main():
     else:
         sb = None
 
-    # Warmup / compile.
-    field_w, (loss, diag) = run(field, samples, sb, steps)
-    jax.block_until_ready(field_w)
+    # jax.block_until_ready can return EARLY over the tunneled backend for
+    # some executables (measured: a 43 ms/step scan "completed" in 0.16 ms),
+    # so every sync below is a real device->host read of a scalar.
+    def sync(loss):
+        return float(jax.device_get(loss[-1]))
 
+    # Warmup / compile (also pays the pathological first-D2H cost).
+    field_w, (loss_w, diag) = run(field, samples, sb, steps)
+    sync(loss_w)
+
+    # Time one chained run, then three; the difference is two runs of pure
+    # execution (dispatch + D2H + any fixed tunnel latency cancel exactly).
     t0 = time.perf_counter()
-    f, (loss, diag) = run(field, samples, sb, steps)
-    jax.block_until_ready(f)
-    dt = (time.perf_counter() - t0) / steps
+    f, (loss, diag) = run(field_w, samples, sb, steps)
+    sync(loss)
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    f, (loss, _) = run(field_w, samples, sb, steps)
+    f, (loss, _) = run(f, samples, sb, steps)
+    f, (loss, diag) = run(f, samples, sb, steps)
+    sync(loss)
+    t_three = time.perf_counter() - t0
+    dt = (t_three - t_one) / (2 * steps)
     diag = jax.tree.map(lambda x: x[-1], diag)
 
-    # Single device->host read, after timing (first D2H is slow on tunneled
-    # backends and must not sit inside the measured region).
     overflow = {k: int(v) for k, v in diag.items()}
     if any(overflow.values()):
         print(f"WARNING: overflow diagnostics {overflow}", file=sys.stderr)
