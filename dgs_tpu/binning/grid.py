@@ -45,10 +45,9 @@ class BinningState(NamedTuple):
     ent_gid: jnp.ndarray      # (E,) int32 gaussian id, P = sentinel pad
     ent_tile: jnp.ndarray     # (1, E) int32 flat tile id, T = sentinel pad
     ent_start: jnp.ndarray    # (T+2,) int32 entry range starts per tile
-    ent_shift: jnp.ndarray    # (E,) int32 packed periodic-image shift
-    #   ((k_d + 1) in 2 bits per axis): the kernels evaluate X = mu' - x
-    #   with mu' = mu - period * k, removing the per-pair torus wrap when
-    #   footprints are compact (cfg.unwrapped_kernels)
+    # (The per-entry periodic-image shift is NOT stored: it is recomputed
+    #  from (ent_tile, rect lo) by kernels/tiled.prepare_entries - carrying
+    #  it through the entry sort as a payload costs a third sorted array.)
     # Sorted samples:
     s_perm: jnp.ndarray       # (N,) int32 sample id by sorted position
     s_tile: jnp.ndarray       # (1, N) int32 tile of sorted sample, T+1 = pad
@@ -161,36 +160,38 @@ def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
     valid = jnp.all(cand < hi[:, None, :], axis=-1)
     g = jnp.asarray(grid, jnp.int32)
     if cfg.period is not None:
-        # Periodic image of the candidate tile.  The shift (which image of
-        # the Gaussian this entry represents) is packed 2 bits per axis and
-        # rides the sort, so kernels can evaluate with per-entry shifted
-        # means and no per-pair wrap (prepare_entries).
-        kimg = jnp.floor_divide(cand, g)          # (P, dup, D) in {-1, 0, 1}
-        cand = cand - kimg * g
-        shift = jnp.sum(
-            (kimg + 1) << (2 * jnp.arange(D, dtype=jnp.int32)), axis=-1
-        ).astype(jnp.int32)
+        # Wrap the candidate tile to its periodic image.  Which image it is
+        # (k_d = floor(cand_d / g_d)) is NOT carried through the sort: it is
+        # unique given (wrapped tile, rect lo) because rect extents never
+        # exceed the grid (full covers collapse above), so prepare_entries
+        # recomputes it - one sorted array instead of two payload arrays.
+        cand = cand - jnp.floor_divide(cand, g) * g
     else:
         valid = valid & jnp.all(cand < g, axis=-1) & jnp.all(cand >= 0, axis=-1)
-        shift = jnp.full((P, dup), _SHIFT_ZERO[D], jnp.int32)
     tile = (cand * jnp.asarray(strides, jnp.int32)).sum(-1)  # (P, dup)
     tile = jnp.where(valid, tile, T)  # sentinel tile sorts last
 
-    ent_tile_flat = tile.reshape(P * dup)
-    ent_gid_flat = jnp.broadcast_to(
+    # Pack (tile, gid) into one key: the single-array sort moves half the
+    # payload of a (key, payload) pair sort, and the packed order
+    # (tile-major, gid-minor) equals the previous stable-by-tile order
+    # exactly (generation is gid-ascending).  gid rides the low bits; the
+    # sentinel (T, P) packs to the maximum key and sorts last.
+    gid_bits = int(P).bit_length()
+    tile_bits = int(T).bit_length()
+    gid_flat = jnp.broadcast_to(
         jnp.arange(P, dtype=jnp.int32)[:, None], (P, dup)
-    ).reshape(P * dup)
-    ent_gid_flat = jnp.where(ent_tile_flat == T, P, ent_gid_flat)
-    ent_shift_flat = shift.reshape(P * dup)
-
-    # Pair sort with the gaussian id and image shift as payloads (stable:
-    # preserves gaussian order within a tile).  argsort + gathers would pay
-    # ~7ns/row random access per array; payloads ride the sort's sequential
-    # merges instead.
-    ent_tile, ent_gid, ent_shift = jax.lax.sort(
-        (ent_tile_flat, ent_gid_flat, ent_shift_flat),
-        num_keys=1, is_stable=True,
     )
+    gid_flat = jnp.where(tile == T, P, gid_flat)
+    if gid_bits + tile_bits <= 31:
+        key = ((tile << gid_bits) | gid_flat).reshape(P * dup)
+        key = jax.lax.sort(key)
+        ent_tile = key >> gid_bits
+        ent_gid = key & ((1 << gid_bits) - 1)
+    else:
+        ent_tile, ent_gid = jax.lax.sort(
+            (tile.reshape(P * dup), gid_flat.reshape(P * dup)),
+            num_keys=1, is_stable=True,
+        )
 
     # Compact: sentinels sorted last, so truncating to the static entry
     # capacity drops only unused slots (or, if the footprints are unusually
@@ -201,17 +202,45 @@ def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
         entry_overflow = jnp.maximum(n_valid - E_cap, 0).astype(jnp.int32)
         ent_tile = ent_tile[:E_cap]
         ent_gid = ent_gid[:E_cap]
-        ent_shift = ent_shift[:E_cap]
 
     ent_start = jnp.searchsorted(
         ent_tile, jnp.arange(T + 2, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return ent_gid, ent_tile, ent_start, ent_shift, overflow, entry_overflow
+    return ent_gid, ent_tile, ent_start, overflow, entry_overflow
 
 
-# Packed "zero shift" value per dimensionality ((k_d + 1) == 1 in each
-# 2-bit field).
-_SHIFT_ZERO = {1: 1, 2: 0b0101, 3: 0b010101}
+def image_shift(cfg: SamplerConfig, ent_tile, ent_lo):
+    """Periodic image index k (E, D) of each entry: the unique k with
+    lo_d <= t_d + k_d * g_d < hi_d given the wrapped tile and the rect lo
+    (see duplicate_entries).  ent_lo may be float (gathered alongside the
+    entry parameters); sentinel rows produce garbage k - callers mask them.
+    """
+    D = ent_lo.shape[1]
+    grid, strides, _ = _grid_info(cfg, D)
+    t = ent_tile.reshape(-1)
+    ks = []
+    for d in range(D):
+        g = grid[d]
+        td = ((t // strides[d]) % g).astype(jnp.float32)
+        ks.append(-jnp.floor((td - ent_lo[:, d].astype(jnp.float32)) / g))
+    return jnp.stack(ks, axis=1)
+
+
+def tile_centers(cfg: SamplerConfig, tile_flat, D: int):
+    """World-space tile centers (..., D) for flat tile ids.
+
+    Sentinel / pad ids decode through the modulus into in-grid values, so
+    downstream tile-local coordinates stay small and finite (those rows are
+    tile-masked in-kernel anyway).  Entry side and sample side decode the
+    SAME flat id with the same formula, so same-tile pairs see bitwise-equal
+    centers - the separable kernels' X = mu_l - x_l is exactly mu' - x.
+    """
+    grid, strides, _ = _grid_info(cfg, D)
+    cs = []
+    for d in range(D):
+        td = (tile_flat // strides[d]) % grid[d]
+        cs.append(cfg.lower[d] + (td.astype(jnp.float32) + 0.5) * cfg.tile_size)
+    return jnp.stack(cs, axis=-1)
 
 
 def entry_capacity(cfg: SamplerConfig, P: int, R: int) -> int:
@@ -277,7 +306,7 @@ def build(
     R = cfg.max_tiles_per_gaussian
 
     rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
-    (ent_gid, ent_tile, ent_start, ent_shift, overflow,
+    (ent_gid, ent_tile, ent_start, overflow,
      entry_overflow) = duplicate_entries(
         cfg, means, rad, R, entry_capacity(cfg, P, R)
     )
@@ -290,7 +319,6 @@ def build(
         ent_gid=ent_gid,
         ent_tile=ent_tile[None, :],
         ent_start=ent_start,
-        ent_shift=ent_shift,
         s_perm=sb.s_perm,
         s_tile=sb.s_tile,
         s_start=sb.s_start,

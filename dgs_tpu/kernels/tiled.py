@@ -57,8 +57,20 @@ def n_params(D: int, C: int) -> int:
     return D + tri_size(D) + C
 
 
+def sep_rows(D: int) -> int:
+    """Extra geom rows carried by the separable kernels: u (1), b = C mu_l
+    (D), and D a-coefficient groups [b_d, -c_d0..-c_dD-1] of 1+D rows."""
+    return 1 + D + D * (1 + D)
+
+
+def mono_rows(D: int) -> int:
+    """Rows of the per-sample monomial matrix: [1, x_l (D),
+    -w_t/2 * x_i x_j (tri)] with off-diagonal weight 2."""
+    return 1 + D + tri_size(D)
+
+
 def prepare_entries(state: BinningState, means, values, conics, block_e: int,
-                    period=None):
+                    cfg=None, separable: bool = False):
     """Entry-ordered packed parameters, padded to a block multiple.
 
     One row gather builds (Ep, D+tri+C); the transpose is the lane-major
@@ -67,17 +79,23 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int,
     Shared by forward and backward (ops/sampling.py computes it once per
     custom_vjp forward and stows it in the residuals).
 
-    With ``period`` set, each entry's mean is shifted to the periodic image
-    its tile sees (mu' = mu - period * k from the binning's packed shift),
-    so X = mu' - x equals the minimum-image displacement for every pair the
-    binning pairs it with - letting the kernels skip the per-pair wrap when
-    footprints are compact (cfg.unwrapped_kernels).  The shift is a no-op
-    under the wrapped kernels (wrap is period-invariant), so it is always
-    applied for periodic domains.
+    For a periodic config, each entry's mean is shifted to the periodic image
+    its tile sees (mu' = mu - period * k), so X = mu' - x equals the
+    minimum-image displacement for every pair the binning pairs it with -
+    letting the kernels skip the per-pair wrap when footprints are compact
+    (cfg.unwrapped_kernels).  The shift is a no-op under the wrapped kernels
+    (wrap is period-invariant), so it is always applied for periodic domains.
+    Which image an entry is (k_d) is recomputed from (tile, rect lo) - the
+    rect lo rows ride the SAME row gather as the parameters (rows are
+    lane-padded to 128 in HBM, so the extra D columns are free), which is
+    cheaper than carrying a shift payload through the binning's entry sort.
 
     Sentinel entries (gid == P) hit an appended zero row; they are also
-    tile-masked in-kernel, so both forward and backward contributions vanish.
+    tile-masked in-kernel, so both forward and backward contributions vanish
+    (their garbage shift is harmless).
     """
+    from ..binning import grid as binning
+
     P, D = means.shape
     C = values.shape[1]
     tri = tri_size(D)
@@ -89,28 +107,93 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int,
     tile = _pad_axis(state.ent_tile, 1, Ep)
     tile = jnp.where(jnp.arange(Ep)[None, :] >= E, jnp.int32(2**30), tile)
 
+    period = None if cfg is None else cfg.period
     params = jnp.concatenate([means, conics, values], axis=1)  # (P, NPARAM)
+    if period is not None:
+        # The rect is binning structure, not a differentiable quantity (floor
+        # has zero gradient; radii would otherwise leak the outer
+        # linearization's tangents into the custom_vjp closure).
+        lo, _ = binning.gaussian_rects(
+            cfg.with_dims(D), jax.lax.stop_gradient(means),
+            jax.lax.stop_gradient(state.radii))
+        params = jnp.concatenate([params, lo.astype(params.dtype)], axis=1)
     params = jnp.concatenate(
         [params, jnp.zeros((1, params.shape[1]), params.dtype)], 0
     )
-    ent = params[gid]              # (Ep, NPARAM) - single row gather
+    ent = params[gid]              # (Ep, NPARAM[+D]) - single row gather
     if period is not None:
-        shift = _pad_axis(state.ent_shift, 0, Ep)
-        k = jnp.stack(
-            [((shift >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
-        ).astype(ent.dtype)        # (Ep, D)
-        ent = ent.at[:, :D].add(-period * k)
-    geom = ent.T                   # (NPARAM, Ep) lane-major
+        k = binning.image_shift(cfg.with_dims(D), tile, ent[:, D + tri + C:])
+        ent = ent[:, :D + tri + C].at[:, :D].add(-period * k.astype(ent.dtype))
+    if separable:
+        ent = separable_extend(cfg.with_dims(D), ent, tile, D)
+    geom = ent.T                   # (NPARAM[+sep_rows], Ep) lane-major
     return gid, tile, geom, Ep
 
 
-def prepare_samples(state: BinningState, samples, block_n: int):
+def separable_extend(cfg, ent, tile, D: int):
+    """Tile-local separable rows (see _wl_forward_kernel): the mean columns
+    of ``ent`` (rows [means, conics, ...rest]) become mu_l = mu' -
+    tile_center, and [u, b, acoef] columns are appended so the kernels
+    evaluate power and a = C X on the MXU instead of per-pair VPU chains.
+    Exact only when X never needs the per-pair torus wrap (unwrapped/open
+    configs - the callers gate on that)."""
+    from ..binning import grid as binning
+    from ..config import tri_index
+
+    tri = tri_size(D)
+    centers = binning.tile_centers(cfg, tile.reshape(-1), D)   # (Ep, D)
+    mu_l = ent[:, :D] - centers
+    conr = [ent[:, D + t] for t in range(tri)]
+    b = [
+        sum(conr[tri_index(D, d, m)] * mu_l[:, m] for m in range(D))
+        for d in range(D)
+    ]
+    u = -0.5 * sum(b[d] * mu_l[:, d] for d in range(D))
+    acoef = []
+    for d in range(D):
+        acoef.append(b[d])
+        acoef.extend(-conr[tri_index(D, d, m)] for m in range(D))
+    extra = jnp.stack([u] + b + acoef, axis=1)
+    return jnp.concatenate([ent.at[:, :D].set(mu_l), extra], axis=1)
+
+
+def sample_monomials(cfg, s_coords, s_tile, D: int):
+    """The separable kernels' per-sample matrix (mono_rows(D), Np):
+    [1, x_l, -w_t/2 * x_l,i x_l,j] in tile-local coordinates; columns with
+    out-of-grid (sentinel) tiles are zeroed."""
+    from ..binning import grid as binning
+
+    T = binning.num_tiles(cfg, D)
+    Np = s_coords.shape[1]
+    centers = binning.tile_centers(cfg, s_tile.reshape(-1), D)  # (Np, D)
+    valid = (s_tile.reshape(-1) < T)[None, :]
+    xl = jnp.where(valid, s_coords - centers.T, 0.0)            # (D, Np)
+    q = []
+    for i in range(D):
+        for j in range(i, D):
+            w = -0.5 if i == j else -1.0
+            q.append(w * (xl[i] * xl[j]))
+    return jnp.concatenate(
+        [jnp.ones((1, Np), jnp.float32), xl, jnp.stack(q, axis=0)], axis=0
+    )
+
+
+def prepare_samples(state: BinningState, samples, block_n: int,
+                    cfg=None, separable: bool = False):
+    """Padded tile-sorted sample coordinates (+ the separable kernels' tile-
+    local monomial matrix; parameter-independent, so hoistable with the
+    sample binning).  Returns (s_sorted, s_tile, Np, mono-or-None)."""
+    from ..binning import grid as binning
+
     N, D = samples.shape
     Np = _round_up(N, block_n)
     s_sorted = _pad_axis(state.s_sorted, 1, Np)  # sorted coords ride the sort
     s_tile = _pad_axis(state.s_tile, 1, Np)
     s_tile = jnp.where(jnp.arange(Np)[None, :] >= N, jnp.int32(2**30 + 1), s_tile)
-    return s_sorted, s_tile, Np
+    mono = None
+    if separable:
+        mono = sample_monomials(cfg.with_dims(D), s_sorted, s_tile, D)
+    return s_sorted, s_tile, Np, mono
 
 
 def _tile_mask(s_tile_ref, ent_tile_ref):
@@ -205,11 +288,57 @@ def work_total(nblk) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _wl_forward_kernel(orders, period, D, C, n_prefetch, *refs):
+def _dot0(lhs, rhs):
+    """(k, A) x (k, B) -> (A, B), contracting the leading (sublane) axis of
+    both operands on the MXU."""
+    return jax.lax.dot_general(
+        lhs, rhs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _separable_G_a(geom_ref, mono_ref, D, C, flip):
+    """MXU evaluation of the pair quadratic form and a = C X.
+
+    With tile-local coordinates (prepare_entries/prepare_samples):
+      power = u + b.x_l - 1/2 x_l^T C x_l = [u, b, c] . [1, x_l, q(x_l)]
+      a_d   = b_d - (C x_l)_d           = [b_d, -c_d*] . [1, x_l]
+    i.e. one (1+D+tri)-deep and D (1+D)-deep MXU contractions replace the
+    per-pair VPU chains of power_terms.  ``flip`` selects the (BN, BP)
+    backward orientation.  Returns (power, a) WITHOUT the PSD mask.
+    """
+    tri = tri_size(D)
+    MP = 1 + D
+    NP0 = D + tri + C
+    M1 = mono_ref[0:MP, :]
+    M2 = mono_ref[MP:MP + tri, :]
+    ub = geom_ref[NP0:NP0 + MP, :]
+    conr = geom_ref[D:D + tri, :]
+    if flip:
+        power = _dot0(M1, ub) + _dot0(M2, conr)
+        a = [
+            _dot0(M1, geom_ref[NP0 + MP * (1 + d):NP0 + MP * (2 + d), :])
+            for d in range(D)
+        ]
+    else:
+        power = _dot0(ub, M1) + _dot0(conr, M2)
+        a = [
+            _dot0(geom_ref[NP0 + MP * (1 + d):NP0 + MP * (2 + d), :], M1)
+            for d in range(D)
+        ]
+    return power, a
+
+
+def _wl_forward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
     """Pair arrays are (BP entries, BN samples): entries ride the sublanes so
     the outputs land lane-major (K*C, BN) - a (N, K*C) layout would pad its
     24 columns to 128 lanes in HBM (5x physical traffic on every read and
-    write of the packed outputs/cotangents)."""
+    write of the packed outputs/cotangents).
+
+    In separable mode the samples operand is the monomial matrix
+    (mono_rows(D), BN) and power/a come off the MXU (_separable_G_a); the
+    component weights and value matmuls are unchanged (they only need
+    (con, G, a))."""
     aux_ref = refs[0]
     (geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
      out_ref) = refs[n_prefetch:]
@@ -223,14 +352,20 @@ def _wl_forward_kernel(orders, period, D, C, n_prefetch, *refs):
     @pl.when((a_w & 1) != 0)
     def _compute():
         tri = tri_size(D)
-        Xs = [
-            formulas.wrap(
-                geom_ref[d, :][:, None] - samples_ref[d, :][None, :], period
-            )
-            for d in range(D)
-        ]
         con = [geom_ref[D + t, :][:, None] for t in range(tri)]
-        G, a = formulas.power_terms(Xs, con)
+        if separable:
+            power, a = _separable_G_a(geom_ref, samples_ref, D, C, flip=False)
+            G = jnp.where(power > 0, 0.0, jnp.exp(jnp.minimum(power, 0.0)))
+            Xs = [None] * D
+        else:
+            Xs = [
+                formulas.wrap(
+                    geom_ref[d, :][:, None] - samples_ref[d, :][None, :],
+                    period,
+                )
+                for d in range(D)
+            ]
+            G, a = formulas.power_terms(Xs, con)
         G = G * (
             ent_tile_ref[0, :][:, None] == s_tile_ref[0, :][None, :]
         ).astype(jnp.float32)
@@ -251,10 +386,11 @@ def tiled_forward(
     D: int, C: int,
     wl,                    # (row, col, first, compute) from work_list
     ent,                   # prepare_entries product
-    smp,                   # prepare_samples product
+    smp,                   # (coords-or-mono, s_tile, Np)
     *,
     block_n: int = 256,
     block_e: int = 512,
+    separable: bool = False,
 ) -> jnp.ndarray:
     """Packed lane-major (K*C, Np) outputs in tile-sorted sample order.
 
@@ -267,7 +403,8 @@ def tiled_forward(
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
-    NPARAM = n_params(D, C)
+    NPARAM = n_params(D, C) + (sep_rows(D) if separable else 0)
+    SROWS = mono_rows(D) if separable else D
     tri = tri_size(D)
     cap = aux.shape[0]
     EB = Ep // block_e
@@ -298,14 +435,15 @@ def tiled_forward(
         in_specs=[
             pl.BlockSpec((NPARAM, block_e), col_map),
             pl.BlockSpec((1, block_e), col_map),
-            pl.BlockSpec((D, block_n), row_map),
+            pl.BlockSpec((SROWS, block_n), row_map),
             pl.BlockSpec((1, block_n), row_map),
         ],
         out_specs=pl.BlockSpec((K * C, block_n), row_map),
     )
 
     return pl.pallas_call(
-        functools.partial(_wl_forward_kernel, orders, period, D, C, nsp),
+        functools.partial(_wl_forward_kernel, orders, period, D, C,
+                          separable, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
@@ -317,7 +455,7 @@ def tiled_forward(
 # ---------------------------------------------------------------------------
 
 
-def _wl_backward_kernel(orders, period, D, C, n_prefetch, *refs):
+def _wl_backward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
     aux_ref = refs[0]
     (geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
      ct_ref, ct_t_ref, dent_ref) = refs[n_prefetch:]
@@ -331,14 +469,28 @@ def _wl_backward_kernel(orders, period, D, C, n_prefetch, *refs):
 
     @pl.when((a_w & 1) != 0)
     def _compute():
-        Xs = [
-            formulas.wrap(
-                geom_ref[d, :][None, :] - samples_ref[d, :][:, None], period
-            )
-            for d in range(D)
-        ]
         con = [geom_ref[D + t, :][None, :] for t in range(tri)]
-        G, a = formulas.power_terms(Xs, con)
+        if separable:
+            # X from the monomial x_l rows and the tile-local mean rows
+            # (X = mu_l - x_l == mu' - x for every same-tile pair); power
+            # and a off the MXU.
+            # power/a stay on the VPU here: the (BN, BP) orientation would
+            # need transposed-lhs MXU dots, measured +14 ms/step at the D=3
+            # operating point (the forward's (BP, BN) orientation wins -4).
+            Xs = [
+                geom_ref[d, :][None, :] - samples_ref[1 + d, :][:, None]
+                for d in range(D)
+            ]
+            G, a = formulas.power_terms(Xs, con)
+        else:
+            Xs = [
+                formulas.wrap(
+                    geom_ref[d, :][None, :] - samples_ref[d, :][:, None],
+                    period,
+                )
+                for d in range(D)
+            ]
+            G, a = formulas.power_terms(Xs, con)
         G = G * _tile_mask(s_tile_ref, ent_tile_ref)
         values_t = geom_ref[D + tri:D + tri + C, :]  # (C, BP)
 
@@ -389,6 +541,7 @@ def tiled_backward(
     *,
     block_n: int = 128,
     block_e: int = 256,
+    separable: bool = False,
 ) -> jnp.ndarray:
     """Packed per-entry gradients (D+tri+C, Ep): means rows, conic rows,
     value rows.  The caller segment-sums by gaussian id (deterministic
@@ -399,6 +552,17 @@ def tiled_backward(
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
+    # The backward only reads the base parameter rows of the separable-
+    # extended geom and the [1, x_l] head of the monomial matrix; a block
+    # row-prefix smaller than the operand saves the unused rows' HBM reads.
+    # TPU blocks must have row counts divisible by 8 or equal to the full
+    # dimension, so round the prefix up (and fall back to the full rows).
+    def _prefix(want, full):
+        blk = _round_up(want, 8)
+        return blk if blk < full else full
+
+    GROWS = _prefix(NPARAM, NPARAM + sep_rows(D)) if separable else NPARAM
+    SROWS = _prefix(1 + D, mono_rows(D)) if separable else D
     tri = tri_size(D)
     cap = aux.shape[0]
     NB = Np // block_n
@@ -436,9 +600,9 @@ def tiled_backward(
         num_scalar_prefetch=nsp,
         grid=(cap,),
         in_specs=[
-            pl.BlockSpec((NPARAM, block_e), row_map),
+            pl.BlockSpec((GROWS, block_e), row_map),
             pl.BlockSpec((1, block_e), row_map),
-            pl.BlockSpec((D, block_n), col_map0),
+            pl.BlockSpec((SROWS, block_n), col_map0),
             pl.BlockSpec((1, block_n), col_map0),
             pl.BlockSpec((block_n, K * C), col_map_r),
             pl.BlockSpec((K * C, block_n), col_map0),
@@ -447,7 +611,8 @@ def tiled_backward(
     )
 
     return pl.pallas_call(
-        functools.partial(_wl_backward_kernel, orders, period, D, C, nsp),
+        functools.partial(_wl_backward_kernel, orders, period, D, C,
+                          separable, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NPARAM, Ep), jnp.float32),
         interpret=_interpret(),

@@ -178,7 +178,7 @@ def preprocess_grid(
     rho = jnp.where(alive, r_eff + jnp.max(r_eff), 0.0)
 
     E_cap = binning.entry_capacity(cfg, P, R)
-    (ent_gid, ent_tile, ent_start, _ent_shift, rect_of,
+    (ent_gid, ent_tile, ent_start, rect_of,
      ent_of) = binning.duplicate_entries(cfg, means, rho, R, E_cap)
     T = binning.num_tiles(cfg, D)
 
@@ -493,29 +493,32 @@ def preprocess_pallas(
 
     r_eff, rho = _collision_geometry(cfg, radii)
 
-    (gid, tile, start, shift, rect_of, ent_of) = binning.duplicate_entries(
+    (gid, tile, start, rect_of, ent_of) = binning.duplicate_entries(
         cfg, means, rho, plan.rect, min(P * plan.rect ** D, plan.entries)
     )
     sb = binning.bin_samples(cfg, means)
 
-    # Chunk-padded entry side.  gid and shift ride ONE packed 1-D gather
-    # (shift < 64: 2 bits per axis, D <= 3); geometry rides one row gather.
-    # Every other per-slot array is a chunk-level broadcast - per-slot
-    # gathers serialize at ~10ns/row and would dominate this preprocess.
-    esrc, evalid, _, _, ebase, em, e_of = chunked.chunk_layout(
+    # Chunk-padded entry side: gid rides one 1-D gather, geometry one row
+    # gather; the periodic image index is recomputed from (tile, rect lo)
+    # with the lo rows riding the same row gather (see
+    # kernels/tiled.prepare_entries).  Every other per-slot array is a
+    # chunk-level broadcast - per-slot gathers serialize at ~10ns/row and
+    # would dominate this preprocess.
+    esrc, evalid, etile, _, ebase, em, e_of = chunked.chunk_layout(
         start, block_e, plan.e_chunks)
-    packed = jnp.where(gid < P, gid * 64 + shift, jnp.int32(P) * 64)
-    pk = jnp.where(evalid, packed[esrc], jnp.int32(P) * 64)
-    gid_pad = pk // 64
+    gid_pad = jnp.where(evalid, gid[esrc], jnp.int32(P))
     geo = jnp.concatenate([means, conics, r_eff[:, None]], axis=1)
-    geo = jnp.concatenate([geo, jnp.zeros((1, geo.shape[1]), geo.dtype)], 0)
-    ent = geo[gid_pad]                        # (Ep, D+tri+1)
     if cfg.period is not None:
-        shift_pad = pk - gid_pad * 64
-        k = jnp.stack(
-            [((shift_pad >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
-        ).astype(ent.dtype)
-        ent = ent.at[:, :D].add(-cfg.period * k)
+        lo, _ = binning.gaussian_rects(
+            cfg, jax.lax.stop_gradient(means), jax.lax.stop_gradient(rho))
+        geo = jnp.concatenate([geo, lo.astype(geo.dtype)], axis=1)
+    geo = jnp.concatenate([geo, jnp.zeros((1, geo.shape[1]), geo.dtype)], 0)
+    ent = geo[gid_pad]                        # (Ep, D+tri+1[+D])
+    if cfg.period is not None:
+        npar = D + tri + 1
+        tile_pad = jnp.where(evalid, etile, jnp.int32(2**30))
+        k = binning.image_shift(cfg, tile_pad, ent[:, npar:])
+        ent = ent[:, :npar].at[:, :D].add(-cfg.period * k.astype(ent.dtype))
     ent_geo = ent.T                           # (D+tri+1, Ep)
 
     # Chunk-padded center side (the sample half of the binning machinery):

@@ -183,7 +183,7 @@ sample_pallas_multi.defvjp(_sample_pallas_multi_fwd, _sample_pallas_multi_bwd)
 # ---------------------------------------------------------------------------
 
 
-def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
+def sample_tiled_multi(orders: Tuple[str, ...], cfg,
                        means, values, conics, samples, state,
                        fwd_geom, bwd_geom,
                        fwd_work_items: int, bwd_work_items: int,
@@ -192,7 +192,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
                        sorted_outputs: bool = False,
                        unique_outputs: bool = False,
                        padded_outputs: bool = False,
-                       unwrapped: bool = False):
+                       unwrapped: bool = False,
+                       separable: Optional[bool] = None):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
@@ -215,16 +216,36 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     N, D = samples.shape
     P, C = values.shape
     tri = tri_size(D)
+    period = cfg.period
     if padded_outputs and not sorted_outputs:
         raise ValueError("padded_outputs requires sorted_outputs")
+    # The binning structure (incl. radii, consumed by prepare_entries for the
+    # periodic image recompute) is non-differentiable; sever its tangents
+    # BEFORE the custom_vjp below closes over it, or an outer linearization's
+    # tracers leak into the closure.
+    state = jax.tree.map(jax.lax.stop_gradient, state)
+
+    # The separable kernels (power and a = CX on the MXU in tile-local
+    # coordinates) require wrap-free pair math: unwrapped periodic configs
+    # (planner-certified) or open domains.  They pay doubled geom rows and
+    # leading-axis-contracted dots, which only beats the per-pair VPU chains
+    # once those chains are long: measured -4.2 ms/step at D=3 but
+    # +1.6 ms/step at D=2, so the default enables them for D >= 3 only.
+    kernel_period = None if unwrapped else period
+    if separable is None:
+        separable = kernel_period is None and D >= 3
+    else:
+        separable = separable and kernel_period is None
 
     # Shared preparation: entry/sample padding aligned to both kernels' block
-    # sizes so one gather serves forward and backward; sample sorting is
-    # parameter-independent and hoisted entirely.
+    # sizes so one gather serves forward and backward; sample sorting (and
+    # the separable monomial matrix) is parameter-independent and hoisted
+    # entirely.
     align_e = max(block_e, bwd_block_e)
     align_n = max(block_n, bwd_block_n)
-    smp = ktiled.prepare_samples(state, samples, align_n)
-    Np = smp[2]
+    s_sorted, s_tile, Np, mono = ktiled.prepare_samples(
+        state, samples, align_n, cfg=cfg, separable=separable)
+    smp = (mono if separable else s_sorted, s_tile, Np)
     Ep = _round_up(state.num_entries, align_e)
 
     NB_f, EB_f = Np // block_n, Ep // block_e
@@ -258,20 +279,22 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
     # already lane-major.
     # With per-entry period-shifted means (prepare_entries) the kernels can
     # drop the per-pair torus wrap when footprints are compact
-    # (cfg.unwrapped_kernels; exactness certified by the capacity planner).
-    kernel_period = None if unwrapped else period
+    # (cfg.unwrapped_kernels; exactness certified by the capacity planner),
+    # and then also run the separable MXU pair math (see above).
 
     @jax.custom_vjp
     def f(m, v, c):
-        ent = ktiled.prepare_entries(state, m, v, c, align_e, period=period)
+        ent = ktiled.prepare_entries(state, m, v, c, align_e, cfg=cfg,
+                                     separable=separable)
         return ktiled.tiled_forward(
             orders, kernel_period, D, C, wl_f[:4], ent, smp,
-            block_n=block_n, block_e=block_e,
+            block_n=block_n, block_e=block_e, separable=separable,
         )                     # (K*C, Np); columns >= N are zero
 
     def f_fwd(m, v, c):
         return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e,
-                                                  period=period)
+                                                  cfg=cfg,
+                                                  separable=separable)
 
     def f_bwd(ent, g):
         # g arrives lane-major (K*C, Np); the backward's h matmuls also want
@@ -279,7 +302,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], period: Optional[float],
         # slower than one outside transpose).
         dent = ktiled.tiled_backward(
             orders, kernel_period, D, C, wl_b[:4], ent, smp, g.T, g,
-            block_n=bwd_block_n, block_e=bwd_block_e,
+            block_n=bwd_block_n, block_e=bwd_block_e, separable=separable,
         )
         # Deterministic segment-sum of entry gradients by gaussian id
         # (replaces backward.cu's atomicAdd scatter).  TPU row scatters and
@@ -373,7 +396,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
              else EB_b * cfg.work_blocks_bwd)
 
     outs = sample_tiled_multi(
-        tuple(orders), cfg.period, means, values, conics, samples, state,
+        tuple(orders), cfg, means, values, conics, samples, state,
         fwd_geom, bwd_geom, cap_f, cap_b,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
         sorted_outputs=sorted_outputs, unique_outputs=unique_outputs,

@@ -58,6 +58,7 @@ class ChunkedSamples(NamedTuple):
     pos: jnp.ndarray       # (N,) padded slot of each original sample
     cm: jnp.ndarray        # (T,) sample chunks per tile
     cbase: jnp.ndarray     # (T,) first sample chunk of each tile
+    mono: jnp.ndarray      # (mono_rows(D), Nsp) separable monomial matrix
     overflow: jnp.ndarray  # () int32 chunk-capacity overflow
 
 
@@ -134,8 +135,11 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     pos = jnp.zeros((N + 1,), jnp.int32).at[cid].set(
         jnp.arange(Nsp, dtype=jnp.int32), mode="drop"
     )[:N]
+    from ..kernels import tiled as ktiled
+
     return ChunkedSamples(
         s_coords=coords, s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
+        mono=ktiled.sample_monomials(cfg, coords, s_tile, D),
         overflow=s_of,
     )
 
@@ -170,16 +174,16 @@ def sample_chunked_multi(
     N = cs.pos.shape[0]
     Nsp = cs.s_coords.shape[1]
     Ep = plan.e_chunks * block_e
+    # Binning structure is non-differentiable; sever tangents before the
+    # custom_vjp closure below captures radii (see sample_tiled_multi).
+    radii = jax.lax.stop_gradient(radii)
 
-    (gid, tile, start, shift, rect_of, ent_of) = binning.duplicate_entries(
+    (gid, tile, start, rect_of, ent_of) = binning.duplicate_entries(
         cfg, means, radii, plan.rect, min(P * plan.rect ** D, plan.entries)
     )
     esrc, evalid, etile, _, ebase, em, e_of = chunked.chunk_layout(
         start, block_e, plan.e_chunks)
-    packed = jnp.where(gid < P, gid * 64 + shift, jnp.int32(P) * 64)
-    pk = jnp.where(evalid, packed[esrc], jnp.int32(P) * 64)
-    gid_pad = pk // 64
-    shift_pad = pk - gid_pad * 64
+    gid_pad = jnp.where(evalid, gid[esrc], jnp.int32(P))
     tile_pad = jnp.where(evalid, etile, jnp.int32(2**30))[None, :]
 
     aux_f, col_f, wf_of = chunked.work_list(
@@ -191,29 +195,39 @@ def sample_chunked_multi(
 
     # Entries are pre-shifted to their periodic image (prepare_entries
     # semantics), so the kernels run wrap-free when the config certifies
-    # compact footprints.
+    # compact footprints; wrap-free D>=3 also enables the separable MXU
+    # pair math (see ops/sampling.sample_tiled_multi).
     kernel_period = None if cfg.unwrapped_kernels else cfg.period
+    separable = kernel_period is None and D >= 3
 
     def _prepare(m, v, c):
         params = jnp.concatenate([m, c, v], axis=1)      # (P, NPARAM)
+        if cfg.period is not None:
+            # Rect lo rides the same row gather; the periodic image index is
+            # recomputed from (tile, lo) - see kernels/tiled.prepare_entries.
+            # stop_gradient: the rect is binning structure, not differentiable.
+            lo, _ = binning.gaussian_rects(
+                cfg, jax.lax.stop_gradient(m), jax.lax.stop_gradient(radii))
+            params = jnp.concatenate([params, lo.astype(params.dtype)], 1)
         params = jnp.concatenate(
             [params, jnp.zeros((1, params.shape[1]), params.dtype)], 0)
-        ent = params[gid_pad]                            # (Ep, NPARAM)
+        ent = params[gid_pad]                            # (Ep, NPARAM[+D])
         if cfg.period is not None:
-            k = jnp.stack(
-                [((shift_pad >> (2 * d)) & 3) - 1 for d in range(D)], axis=1
-            ).astype(ent.dtype)
-            ent = ent.at[:, :D].add(-cfg.period * k)
+            npar = D + tri + C
+            k = binning.image_shift(cfg, tile_pad, ent[:, npar:])
+            ent = ent[:, :npar].at[:, :D].add(-cfg.period * k.astype(ent.dtype))
+        if separable:
+            ent = ktiled.separable_extend(cfg, ent, tile_pad, D)
         return gid_pad, tile_pad, ent.T, Ep
 
-    smp = (cs.s_coords, cs.s_tile, Nsp)
+    smp = (cs.mono if separable else cs.s_coords, cs.s_tile, Nsp)
 
     @jax.custom_vjp
     def f(m, v, c):
         ent = _prepare(m, v, c)
         return ktiled.tiled_forward(
             orders, kernel_period, D, C, wl_f, ent, smp,
-            block_n=block_n, block_e=block_e,
+            block_n=block_n, block_e=block_e, separable=separable,
         )                     # (K*C, Nsp); pad columns are zero
 
     def f_fwd(m, v, c):
@@ -222,7 +236,7 @@ def sample_chunked_multi(
     def f_bwd(ent, g):
         dent = ktiled.tiled_backward(
             orders, kernel_period, D, C, wl_b, ent, smp, g.T, g,
-            block_n=block_n, block_e=block_e,
+            block_n=block_n, block_e=block_e, separable=separable,
         )
         d = jax.ops.segment_sum(dent.T, ent[0], num_segments=P + 1)[:P]
         return d[:, :D], d[:, D + tri:], d[:, D:D + tri]

@@ -138,7 +138,7 @@ class GaussianSampler:
             bn, be, bbn, bbe = self._blocks
             outs = snapshot_call(
                 self.debug, "sample", sampling.sample_tiled_multi,
-                tuple(orders), cfg.period, self.means, self.values,
+                tuple(orders), cfg, self.means, self.values,
                 self.conics, self.samples, self.state, self._fwd_geom,
                 self._bwd_geom, self._fwd_work, self._bwd_work,
                 block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,

@@ -155,7 +155,6 @@ def _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe) -> dict:
         state = state._replace(
             ent_tile=state.ent_tile[:, :e_keep],
             ent_gid=state.ent_gid[:e_keep],
-            ent_shift=state.ent_shift[:e_keep],
             ent_start=jnp.minimum(state.ent_start, e_keep),
         )
         fb, fn = binning.forward_geometry(state, bn, be)

@@ -328,7 +328,7 @@ def test_tiled_grads_match_backward_cu_replica(rng, D, order):
 
     def f(m_, v_, c_):
         (out,) = sampling.sample_tiled_multi(
-            (order,), cfg.period, m_, v_, c_, s, state, fg, bg, fw, bw,
+            (order,), cfg, m_, v_, c_, s, state, fg, bg, fw, bw,
             block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
         )
         return out.reshape(N, k, C)

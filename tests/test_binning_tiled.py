@@ -81,7 +81,7 @@ def test_tiled_forward_matches_masked_oracle(rng, D):
     state, fg, bg, fw, bw = _build(cfg, m, cov, s)
     mask = binning.pair_mask_dense(cfg, state, s, 43)
     outs = sampling.sample_tiled_multi(
-        ORDERS, cfg.period, m, v, c, s, state, fg, bg, fw, bw,
+        ORDERS, cfg, m, v, c, s, state, fg, bg, fw, bw,
         block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
     )
     for order, got in zip(ORDERS, outs):
@@ -138,7 +138,7 @@ def test_tiled_backward_matches_masked_oracle_autodiff(rng, D):
 
     def loss_tiled(m_, v_, c_):
         outs = sampling.sample_tiled_multi(
-            ORDERS, cfg.period, m_, v_, c_, s, state, fg, bg, fw, bw,
+            ORDERS, cfg, m_, v_, c_, s, state, fg, bg, fw, bw,
             block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
         )
         return sum(jnp.sum(o**2) for o in outs)
@@ -165,7 +165,7 @@ def test_tiled_equals_dense_for_wide_gaussians(rng):
     m, v, cov, c, s = _setup(rng, 9, 21, 2, sigma_range=(0.9, 1.2))
     state, fg, bg, fw, bw = _build(cfg, m, cov, s)
     outs = sampling.sample_tiled_multi(
-        ("value",), cfg.period, m, v, c, s, state, fg, bg, fw, bw,
+        ("value",), cfg, m, v, c, s, state, fg, bg, fw, bw,
         block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
     )
     ref = oracle.evaluate("value", m, v, c, s)
@@ -188,7 +188,7 @@ def test_culled_zero_radius_gaussian(rng):
     cov = cov.at[2].set(jnp.array([0.01, 0.01, 0.01]))  # det == 0
     state, fg, bg, fw, bw = _build(cfg, m, cov, s)
     outs = sampling.sample_tiled_multi(
-        ("value",), cfg.period, m, v, c, s, state, fg, bg, fw, bw,
+        ("value",), cfg, m, v, c, s, state, fg, bg, fw, bw,
         block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
     )
     mask = binning.pair_mask_dense(cfg, state, s, 5)
@@ -300,4 +300,37 @@ def test_open_domain_binned_matches_oracle(rng):
     for a, b in zip(g, gr):
         np.testing.assert_allclose(
             a, b, rtol=2e-4, atol=1e-5 * max(1.0, float(np.abs(b).max()))
+        )
+
+
+@pytest.mark.parametrize("D", [1, 2, 3])
+def test_unwrapped_separable_matches_wrapped(rng, D):
+    """Periodic domain with compact footprints: the unwrapped SEPARABLE
+    kernels (tile-local MXU pair math, kernels/tiled._separable_G_a) must
+    reproduce the wrapped per-pair path - values AND all three gradients."""
+    cfg = SamplerConfig(max_tiles_per_gaussian=4, tile_size=0.51,
+                        eig_floor=1e-12).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 37, 53, D, sigma_range=(0.02, 0.05))
+    state, fg, bg, fw, bw = _build(cfg, m, cov, s)
+
+    def loss(unwrapped, m_, v_, c_):
+        outs = sampling.sample_tiled_multi(
+            ORDERS, cfg, m_, v_, c_, s, state, fg, bg, fw, bw,
+            block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+            unwrapped=unwrapped, separable=unwrapped,
+        )
+        # Per-order normalization keeps the higher orders' much larger
+        # magnitudes from dominating every gradient.
+        return sum(jnp.sum(o * o) / (1.0 + jnp.sum(o * o)) * 100.0
+                   for o in outs)
+
+    (l_w, g_w) = jax.value_and_grad(
+        lambda *a: loss(False, *a), argnums=(0, 1, 2))(m, v, c)
+    (l_u, g_u) = jax.value_and_grad(
+        lambda *a: loss(True, *a), argnums=(0, 1, 2))(m, v, c)
+    np.testing.assert_allclose(l_u, l_w, rtol=1e-4)
+    for a, b, name in zip(g_u, g_w, ("means", "values", "conics")):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=1e-4 * max(1.0, float(np.abs(b).max())),
+            err_msg=name,
         )

@@ -192,9 +192,9 @@ def main():
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def prep(_cfg, nothing, m, cov, con, v, s):
         state = binning.build(_cfg, m, cov, s)
-        smp = ktiled.prepare_samples(state, s, align_n)
+        smp = ktiled.prepare_samples(state, s, align_n)[:3]
         ent = ktiled.prepare_entries(state, m, v, con, align_e)
-        Np, Ep = smp[2], ent[4]
+        Np, Ep = smp[2], ent[3]
         fb, fn = binning.forward_geometry(state, bn, be)
         bb, bnn = binning.backward_geometry(state, bbe, bbn)
         NB_f, EB_f = Np // bn, Ep // be
