@@ -39,12 +39,15 @@ def main():
     P = int(os.environ.get("BENCH_P", 100_000))
     N = int(os.environ.get("BENCH_N", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    method = os.environ.get("BENCH_METHOD", "tiled")
     # Default tile tuned on-chip: 0.051 (= 0.51/10) minimizes pair work at
     # the 100k-Gaussian / sigma~0.0063 operating point (0.0637 and 0.0425 are
     # within ~2%; 0.51, the reference's world BLOCK_SIZE, is ~1.7x slower and
     # overflows the backward work cap).
     D = int(os.environ.get("BENCH_D", 2))
+    # D=3's ~1500 entries/tile make the chunk-packed path (~80-90% pair
+    # density) beat the range-sweep tiled path (on-chip sweeps,
+    # tools/sweep_chunked.py: 192.9 vs 209.9 ms/step at tile 0.25).
+    method = os.environ.get("BENCH_METHOD", "chunked" if D == 3 else "tiled")
     # Tile default tuned on-chip per D (D=3 footprints cover more tiles per
     # Gaussian; a coarser grid balances entry count vs pair density).
     tile = float(os.environ.get("BENCH_TILE", {2: 0.051, 3: 0.25}.get(D, 0.1)))
@@ -72,7 +75,11 @@ def main():
         max_tiles_per_gaussian=int(os.environ.get("BENCH_R", 3)),
         eig_floor=float(os.environ.get("BENCH_EIG_FLOOR", 1e-12)),
         block_n=int(os.environ.get("BENCH_BN", blocks.block_n)),
-        block_p=int(os.environ.get("BENCH_BP", blocks.block_p)),
+        # The chunked path uses (block_n, block_p) for BOTH directions;
+        # 512x256 won the D=3 chunked sweep.
+        block_p=int(os.environ.get(
+            "BENCH_BP", 256 if method == "chunked" and D == 3
+            else blocks.block_p)),
         # Very large per-chip sample counts need coarser backward sample
         # blocks to keep the work list inside scalar SMEM.
         block_n_bwd=int(os.environ.get(

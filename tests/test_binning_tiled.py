@@ -334,3 +334,49 @@ def test_unwrapped_separable_matches_wrapped(rng, D):
             a, b, rtol=2e-3, atol=1e-4 * max(1.0, float(np.abs(b).max())),
             err_msg=name,
         )
+
+
+def test_anisotropic_open_box_binned_matches_oracle(rng):
+    """End-to-end sampling on a (2 x 1 x 0.5) anisotropic open box: binned
+    outputs and gradients match the masked oracle (VERDICT round-1 item 8:
+    per-axis extents through grid_shape + the binned path)."""
+    from dgs_tpu.models.field import init_field
+
+    P, N, D, C = 200, 900, 3, 2
+    f = init_field(jax.random.PRNGKey(2), P, D, C, sigma=0.05)
+    scale = jnp.asarray([[1.0, 0.5, 0.25]], jnp.float32)
+    means = f.means * scale
+    s = jnp.asarray(make_samples(rng, N, D)) * scale
+    cfg = SamplerConfig(period=None, lower=(-1.0, -0.5, -0.25),
+                        upper_bounds=(1.0, 0.5, 0.25), tile_size=0.11,
+                        max_tiles_per_gaussian=6, eig_floor=1e-12,
+                        entry_capacity_factor=216.0,
+                        work_blocks_fwd=64, work_blocks_bwd=64)
+    con, cov = f.conics(), f.covariances()
+    orders = ("value", "derivative", "laplacian")
+
+    def loss(m, v, c):
+        outs, diag = sampling.sample_binned(cfg, m, v, c, cov, s, orders)
+        return sum(jnp.sum(o * o) for o in outs.values()), diag
+
+    (l, diag), g = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(means, f.values, con)
+    for k in ("bin_overflow", "entry_overflow", "work_overflow_fwd",
+              "work_overflow_bwd"):
+        assert int(diag[k]) == 0, k
+    state = binning.build(cfg, means, cov, s)
+    mask = binning.pair_mask_dense(cfg, state, s, P)
+
+    def loss_ref(m, v, c):
+        return sum(
+            jnp.sum(oracle.evaluate(o, m, v, c, s, pair_mask=mask,
+                                    period=None) ** 2)
+            for o in orders
+        )
+
+    np.testing.assert_allclose(l, loss_ref(means, f.values, con), rtol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(means, f.values, con)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=1e-4 * max(1.0, float(np.abs(b).max()))
+        )
