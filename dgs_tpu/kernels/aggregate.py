@@ -230,8 +230,19 @@ def _forward_kernel(D, L, K, nfreq, E, period, *refs):
         coeff = G * w * inv_tot                      # (Bc, Be)
         # pre[c, l] = sum_e (coeff * fac)[c, e] * feat[l, e] on the MXU,
         # plus the embedding's broadcast column (the same scalar feeds every
-        # output channel - aggregate_neighbors.cu:198-205).
-        pre = _dot_nt(coeff * fac, ent_fk_ref[:L, :])
+        # output channel - aggregate_neighbors.cu:198-205).  At tiny L the
+        # MXU dot is replaced by L lane reductions: broadcast FMAs beat the
+        # transposed dot there, and Mosaic rejects accumulating matmuls
+        # with < 8 output lanes ("only constant accumulators supported").
+        cfac = coeff * fac
+        if L < 8:
+            pre = jnp.concatenate(
+                [jnp.sum(cfac * ent_fk_ref[l, :][None, :],
+                         axis=1, keepdims=True) for l in range(L)],
+                axis=1,
+            )
+        else:
+            pre = _dot_nt(cfac, ent_fk_ref[:L, :])
         out_ref[...] += pre + jnp.sum(coeff * emb, axis=1, keepdims=True)
 
 
@@ -308,11 +319,24 @@ def _backward_kernel(D, L, K, nfreq, E, period, *refs):
         # The cotangent arrives pre-scaled by inv_tot_i (see module
         # docstring), so coeff here is G * w only.
         cf = G * w * fac                             # (Bc, Be)
-        # dL/dfeat_j[l] = sum_i gpre[i, l] * cf[i, j]   (MXU; the tiny
-        # (Bc, L) lhs transpose beats transposing a 128-lane operand)
-        dfeat = _dot_tn(gpre_ref[...], cf)           # (L, Be)
-        # gdotf[i, j] = sum_l gpre[i, l] * feat[l, j]
-        gdotf = _dotg(gpre_ref[...], ent_fk_ref[:L, :])   # (Bc, Be)
+        if L < 8:
+            # Tiny L: L broadcast FMAs/reductions instead of depth-L MXU
+            # dots (faster there, and Mosaic rejects the degenerate dots).
+            dfeat = jnp.concatenate(
+                [jnp.sum(gpre_ref[:, l][:, None] * cf,
+                         axis=0, keepdims=True) for l in range(L)],
+                axis=0,
+            )                                        # (L, Be)
+            gdotf = sum(
+                gpre_ref[:, l][:, None] * ent_fk_ref[l, :][None, :]
+                for l in range(L)
+            )                                        # (Bc, Be)
+        else:
+            # dL/dfeat_j[l] = sum_i gpre[i, l] * cf[i, j]   (MXU; the tiny
+            # (Bc, L) lhs transpose beats transposing a 128-lane operand)
+            dfeat = _dot_tn(gpre_ref[...], cf)       # (L, Be)
+            # gdotf[i, j] = sum_l gpre[i, l] * feat[l, j]
+            gdotf = _dotg(gpre_ref[...], ent_fk_ref[:L, :])   # (Bc, Be)
         dw = G * (fac * gdotf + emb * gsum)
         # dL/dkey_j[k] = sum_i dw[i, j] * q_i[k]
         dkey_rows = [

@@ -235,13 +235,20 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
         updates, opt_state = opt.update(g, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
+    import time
+
     opt_state = opt.init(params)
     history = []
     for i in range(steps):
         key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
         params, opt_state, l = step(params, opt_state, sub)
+        loss = float(l)  # device sync
         if i % log_every == 0 or i == steps - 1:
-            rec = {"step": i, "loss": float(l),
+            rec = {"step": i, "loss": loss,
+                   # First-step records include compilation; take min over
+                   # records for the warm step time.
+                   "t_step_s": time.perf_counter() - t0,
                    "nbr_overflow": int(nbr.overflow)}
             history.append(rec)
             if logger is not None:

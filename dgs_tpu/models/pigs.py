@@ -250,14 +250,20 @@ def train(cfg: SamplerConfig, *, P: int = 1000, D: int = 2, C: int = 1,
         keys = jax.random.split(key, n)
         return jax.lax.scan(body, state, keys)
 
+    import time
+
     history, i = [], 0
     while i < steps:
         n = min(chunk, steps - i)
         key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
         state, metrics_seq = run(state, sub, n)
         metrics = jax.tree.map(lambda x: x[-1], metrics_seq)
+        m = {k: float(v) for k, v in metrics.items()}  # float() syncs
+        # Warm per-step wall time for this chunk (the first chunk includes
+        # compilation; callers wanting steady-state take min over chunks).
+        m["t_step_s"] = (time.perf_counter() - t0) / n
         i += n
-        m = {k: float(v) for k, v in metrics.items()}
         m["step"] = i - 1
         history.append(m)
         if logger is not None:

@@ -39,33 +39,40 @@ def main():
     sigma = 2.0 / max(P, 1) ** 0.5
 
     # ---- Phase A: PIGS PDE training at 100k ----
+    skip_a = os.environ.get("T100K_SKIP_A")
     cfg = SamplerConfig(tile_size=float(os.environ.get("T100K_TILE", 0.051)),
                         eig_floor=1e-12)
-    t0 = time.perf_counter()
-    state, history = pigs.train(
-        cfg, P=P, D=D, C=1, steps=steps, n_collocation=n_col,
-        learning_rate=2e-3, sigma=sigma, method="tiled",
-        log_every=max(steps // 6, 1),
-    )
-    dt = time.perf_counter() - t0
-    last = history[-1]
-    overflow = {
-        k: last.get(k, 0.0)
-        for k in ("bin_overflow", "work_overflow_fwd", "work_overflow_bwd")
-    }
-    print(json.dumps({
-        "metric": "pigs_100k_train_step_seconds",
-        "value": round(dt / steps, 5),
-        "unit": "s/step",
-        "P": P, "steps": steps, "n_collocation": n_col,
-        "loss_first": round(history[0]["loss"], 3),
-        "loss_last": round(last["loss"], 3),
-        "overflow": overflow,
-        "loss_curve": [round(h["loss"], 3) for h in history],
-        "backend": jax.default_backend(),
-    }))
-    assert all(v == 0 for v in overflow.values()), overflow
-    assert last["loss"] < history[0]["loss"] * 0.5, "no convergence"
+    if not skip_a:
+        t0 = time.perf_counter()
+        state, history = pigs.train(
+            cfg, P=P, D=D, C=1, steps=steps, n_collocation=n_col,
+            learning_rate=2e-3, sigma=sigma, method="tiled",
+            log_every=max(steps // 6, 1),
+        )
+        dt = time.perf_counter() - t0
+        last = history[-1]
+        overflow = {
+            k: last.get(k, 0.0)
+            for k in ("bin_overflow", "work_overflow_fwd",
+                      "work_overflow_bwd")
+        }
+        # Steady-state step time: min over warm scan chunks (the first
+        # chunk pays compilation; dt/steps would smear it in).
+        warm = [h["t_step_s"] for h in history[1:]] or [dt / steps]
+        print(json.dumps({
+            "metric": "pigs_100k_train_step_seconds",
+            "value": round(min(warm), 5),
+            "wall_s_per_step_incl_compile": round(dt / steps, 5),
+            "unit": "s/step",
+            "P": P, "steps": steps, "n_collocation": n_col,
+            "loss_first": round(history[0]["loss"], 3),
+            "loss_last": round(last["loss"], 3),
+            "overflow": overflow,
+            "loss_curve": [round(h["loss"], 3) for h in history],
+            "backend": jax.default_backend(),
+        }))
+        assert all(v == 0 for v in overflow.values()), overflow
+        assert last["loss"] < history[0]["loss"] * 0.5, "no convergence"
 
     # ---- Phase B: dynamics net (aggregation) at 100k ----
     cfg_d = SamplerConfig(eig_floor=1e-12)
@@ -73,12 +80,15 @@ def main():
     params, dhist = dynamics.train(
         cfg_d, P=P, D=D, steps=d_steps, rollout=2, sigma=sigma * 3.0,
         n_eval=n_eval, method="pallas", eval_method="tiled",
-        log_every=max(d_steps // 4, 1),
+        log_every=max(d_steps // 6, 1),
     )
     dt = time.perf_counter() - t0
+    warm_d = min(h["t_step_s"] for h in dhist[1:]) if len(dhist) > 1 else (
+        dt / d_steps)
     print(json.dumps({
         "metric": "dynamics_100k_train_step_seconds",
-        "value": round(dt / d_steps, 5),
+        "value": round(warm_d, 5),
+        "wall_s_per_step_incl_compile": round(dt / d_steps, 5),
         "unit": "s/step",
         "P": P, "steps": d_steps, "rollout": 2, "n_eval": n_eval,
         "loss_first": round(dhist[0]["loss"], 6),
