@@ -106,6 +106,10 @@ def _sincode(D, nfreq, Xn, dtf_ref, E, want_terms: bool):
     for d in range(D):
         for e in range(nfreq):
             phase = (dtf_ref[0, 2 * E + e] * jnp.pi) * Xn[d]
+            # The 2*nfreq*D transcendentals are ~30% of the step (measured
+            # by ablation: 8.1 of 26.7 ms at P=100k).  A fused
+            # shared-range-reduction sincos polynomial was sized at ~30 VPU
+            # ops/pair vs the builtins' ~29 - no headroom there.
             s, cs = jnp.sin(phase), jnp.cos(phase)
             i0 = d * stride + 2 * e
             emb = emb + s * dtf_ref[0, i0] + cs * dtf_ref[0, i0 + 1]
