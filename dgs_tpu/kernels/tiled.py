@@ -276,6 +276,11 @@ def work_list(base, nblk, colmax: int, cap: int):
 # (per-row) work-list form to stay inside the ~1MB scalar SMEM.
 COMPRESS_ABOVE = 120_000
 
+# PSD-mask tolerance for the separable (MXU-evaluated) power: absorbs the
+# contraction's roundoff so the forward mask agrees with the backward's
+# per-pair evaluation (see _wl_forward_kernel).
+PSD_TOL = 1e-5
+
 
 def work_total(nblk) -> jnp.ndarray:
     """Work items needed for a (padded) nblk vector; compare against the
@@ -355,7 +360,14 @@ def _wl_forward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
         con = [geom_ref[D + t, :][:, None] for t in range(tri)]
         if separable:
             power, a = _separable_G_a(geom_ref, samples_ref, D, C, flip=False)
-            G = jnp.where(power > 0, 0.0, jnp.exp(jnp.minimum(power, 0.0)))
+            # The MXU-evaluated power has entry-scale cancellation: a pair
+            # with X ~ 0 (G ~ 1, the largest contribution) can see power go
+            # spuriously positive by ~1e-6 roundoff where the backward's
+            # per-pair form (no cancellation) keeps it.  Mask with a small
+            # positive tolerance so forward and backward agree; genuinely
+            # non-PSD pairs have power >> tolerance and are still culled.
+            G = jnp.where(power > PSD_TOL, 0.0,
+                          jnp.exp(jnp.minimum(power, 0.0)))
             Xs = [None] * D
         else:
             Xs = [
@@ -472,8 +484,7 @@ def _wl_backward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
         con = [geom_ref[D + t, :][None, :] for t in range(tri)]
         if separable:
             # X from the monomial x_l rows and the tile-local mean rows
-            # (X = mu_l - x_l == mu' - x for every same-tile pair); power
-            # and a off the MXU.
+            # (X = mu_l - x_l == mu' - x for every same-tile pair).
             # power/a stay on the VPU here: the (BN, BP) orientation would
             # need transposed-lhs MXU dots, measured +14 ms/step at the D=3
             # operating point (the forward's (BP, BN) orientation wins -4).

@@ -243,9 +243,10 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, l = step(params, opt_state, sub)
-        loss = float(l)  # device sync
         if i % log_every == 0 or i == steps - 1:
-            rec = {"step": i, "loss": loss,
+            # Sync only on logged steps: a per-step float(l) would add the
+            # ~26 ms fixed device->host tunnel latency to EVERY step.
+            rec = {"step": i, "loss": float(l),
                    # First-step records include compilation; take min over
                    # records for the warm step time.
                    "t_step_s": time.perf_counter() - t0,

@@ -137,9 +137,14 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     )[:N]
     from ..kernels import tiled as ktiled
 
+    # The monomial matrix feeds only the separable kernels; gate on the same
+    # predicate sample_chunked_multi uses so the common D=2 wrapped case
+    # doesn't compute and store it.
+    separable = (cfg.unwrapped_kernels or cfg.period is None) and D >= 3
     return ChunkedSamples(
         s_coords=coords, s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
-        mono=ktiled.sample_monomials(cfg, coords, s_tile, D),
+        mono=(ktiled.sample_monomials(cfg, coords, s_tile, D)
+              if separable else None),
         overflow=s_of,
     )
 

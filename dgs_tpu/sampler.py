@@ -5,8 +5,22 @@ Drop-in analogue of the reference's ``GaussianSampler`` (__init__.py:214-317):
 ``sample_gaussians*`` methods evaluate over it, ``preprocess_aggregate`` /
 ``aggregate_neighbors`` drive the neighbor-attention subsystem.  Added beyond
 the reference: ``sample_all`` (fused multi-order, one pairwise pass instead of
-four kernel launches) and ``method`` selection (tiled / pallas-dense / XLA
-dense).
+four kernel launches) and ``method`` selection (tiled / chunked /
+pallas-dense / XLA dense).
+
+Jit-compatibility note: this facade is EAGER by design, mirroring the
+reference's host-driven API - ``preprocess`` and ``preprocess_aggregate``
+read exact work totals back to the host to size the static capacities
+(device->host syncs), so they cannot be traced inside a jitted step.
+Training loops that want one compiled program per step should size a
+``SamplerConfig`` once via the capacity planners
+(``utils.native.plan_capacities`` -> ``config_from_plan``,
+``ops.sampling_chunked.plan_chunked``, ``ops.aggregation.plan_pallas``) and
+call the functional ops (``ops.sampling.sample_binned``,
+``ops.sampling_chunked.sample_chunked``, ``ops.aggregation``) directly -
+those are fully jit-compatible with in-graph overflow diagnostics.  The
+``sample_gaussians*`` / ``sample_all`` / ``aggregate_neighbors`` methods
+themselves are pure and trace fine once the preprocess state exists.
 """
 
 from __future__ import annotations

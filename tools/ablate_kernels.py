@@ -210,8 +210,11 @@ def main():
     con, cov = field.conics(), field.covariances()
     smp, ent, wl_f, wl_b = jax.block_until_ready(
         prep(cfg, None, field.means, cov, con, field.values, samples))
-    gid, ent_tile, geom, vals, Ep = ent
+    gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
+    # The value rows ride inside geom (prepare_entries packs means, conics,
+    # values); this tool's row-major forward wants them as a (Ep, C) operand.
+    vals = geom[D + tri_size(D):D + tri_size(D) + C].T
     K = ktiled.total_unique(ORDERS, D)
     NPARAM = ktiled.n_params(D, C)
     ct = jnp.ones((Np, K * C), jnp.float32)
