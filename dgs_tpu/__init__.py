@@ -55,6 +55,13 @@ def preprocess_aggregate(cfg, means, conics, radii, **kw):
 def aggregate_neighbors(features, transform, queries, keys, frequencies,
                         distance_transform, neighbors):
     """Attention aggregation over the Gaussian cloud (ext.cpp:30);
-    differentiable in all six parameter groups."""
+    differentiable in all six parameter groups.  Dispatches on the neighbor
+    structure: an ``aggregation.AggBinning`` (from ``preprocess_pallas``)
+    routes to the fused Pallas pair-sweep kernels, a ``Neighbors`` table to
+    the XLA path."""
+    if isinstance(neighbors, aggregation.AggBinning):
+        return aggregation.aggregate_pallas(
+            features, transform, queries, keys, frequencies,
+            distance_transform, neighbors)
     return aggregation.aggregate(features, transform, queries, keys,
                                  frequencies, distance_transform, neighbors)

@@ -140,6 +140,32 @@ class GaussianSampler:
                 total_b + (EB_b - self._bwd_geom[0].shape[0])
             )
             self._blocks = (bn, be, bbn, bbe)
+        elif self.method == "chunked":
+            # Chunk-packed path (ops/sampling_chunked.py) - the D=3
+            # production path: both pair-sweep sides padded per tile so
+            # every work item is a same-tile chunk pair.  Eager host-side
+            # capacity plan, mirroring the tiled branch's exact sizing.
+            from .oracle.dense import radii as compute_radii
+            from .ops import sampling_chunked
+
+            cfg, plan = sampling_chunked.plan_chunked(
+                cfg, means, covariances, samples)
+            self.config = cfg
+            self.state = None
+            self.radii = compute_radii(
+                covariances, D, cfg.radius_sigma, cfg.eig_floor)
+            self._chunk_plan = plan
+            self._chunk_samples = snapshot_call(
+                self.debug, "preprocess", sampling_chunked.chunk_samples,
+                cfg, samples, plan, cfg.block_n,
+            )
+            if self.debug:
+                s_of = int(jax.device_get(self._chunk_samples.overflow))
+                if s_of:
+                    raise ValueError(
+                        f"chunked sample overflow: {s_of} samples beyond the "
+                        "planned chunk capacity"
+                    )
         else:
             from .oracle.dense import radii as compute_radii
 
@@ -158,6 +184,25 @@ class GaussianSampler:
                 block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
             )
             return dict(zip(orders, outs))
+        if self.method == "chunked":
+            from .ops import sampling_chunked
+
+            outs, diag = snapshot_call(
+                self.debug, "sample", sampling_chunked.sample_chunked,
+                cfg, self.means, self.values, self.conics, self.covariances,
+                self.samples, self._chunk_plan, self._chunk_samples,
+                tuple(orders),
+            )
+            if self.debug:
+                bad = {k: int(jax.device_get(v))
+                       for k, v in diag.items()
+                       if k != "perm" and int(jax.device_get(v))}
+                if bad:
+                    raise ValueError(
+                        f"chunked sampling overflow {bad}; re-run preprocess "
+                        "(parameters drifted past the planned capacities)"
+                    )
+            return outs
         return sampling.sample_all(
             self.means, self.values, self.conics, self.samples,
             period=cfg.period, orders=orders,
@@ -186,11 +231,21 @@ class GaussianSampler:
                              method: str = "grid",
                              rect_capacity: Optional[int] = None):
         """Build neighbor lists (reference preprocess_aggregate,
-        __init__.py:291-301).  method="grid" uses the world-grid cell-list
-        search (O(P*candidates)); "dense" the reference-shaped O(P^2) scan.
-        Unset capacities are planned from the collision radii (grid tile
-        matched to them, exact per-tile table width)."""
-        if method == "grid":
+        __init__.py:291-301).  method="pallas" (the production path) builds
+        the chunk-packed structure driving the fused Pallas pair-sweep
+        kernels (kernels/aggregate.py) - no neighbor capacity to truncate;
+        "grid" uses the world-grid cell-list search (O(P*candidates));
+        "dense" the reference-shaped O(P^2) scan.  Unset capacities are
+        planned from the collision radii (grid tile matched to them, exact
+        per-tile table width)."""
+        if method == "pallas":
+            cfg, plan = aggregation.plan_pallas(
+                self.config, self.means, self.radii)
+            agg = snapshot_call(
+                self.debug, "preprocess_agg", aggregation.preprocess_pallas,
+                cfg, self.means, self.conics, self.radii, plan,
+            )
+        elif method == "grid":
             cfg = self.config
             if neighbor_capacity is None or rect_capacity is None:
                 cfg, nc_auto, rect_auto = aggregation.suggest_grid_capacities(
@@ -221,6 +276,16 @@ class GaussianSampler:
 
     def aggregate_neighbors(self, features, transform, queries, keys,
                             frequencies, distance_transform):
+        """Attention aggregation over the stored neighbor structure
+        (reference aggregate_neighbors, __init__.py:303-317).  Dispatches on
+        what preprocess_aggregate built: the Pallas chunk structure routes
+        to the fused pair-sweep kernels, the table forms to the XLA path."""
+        if isinstance(self.neighbors, aggregation.AggBinning):
+            return snapshot_call(
+                self.debug, "aggregate", aggregation.aggregate_pallas,
+                features, transform, queries, keys, frequencies,
+                distance_transform, self.neighbors,
+            )
         return snapshot_call(
             self.debug, "aggregate", aggregation.aggregate,
             features, transform, queries, keys, frequencies,

@@ -23,6 +23,11 @@ def snapshot_call(debug: bool, name: str, fn, *args: Any, **kwargs: Any):
     """
     if not debug:
         return fn(*args, **kwargs)
+    # Under a trace (jit/grad of a facade method) there is no host value to
+    # snapshot - degrade gracefully to a plain call rather than fail the
+    # trace; the eager entry points keep full crash forensics.
+    if any(isinstance(a, jax.core.Tracer) for a in args):
+        return fn(*args, **kwargs)
     host_args = [
         np.asarray(jax.device_get(a)) if hasattr(a, "shape") else a for a in args
     ]

@@ -64,6 +64,109 @@ def test_facade_aggregation_path(rng):
     assert np.isfinite(np.asarray(nf)).all()
 
 
+def test_facade_chunked_method_matches_tiled(rng):
+    """method="chunked" (the D=3 production path) is selectable from the
+    facade and agrees with the tiled path for every order."""
+    means, values, covs, conics = make_gaussians(rng, 60, 3, 2)
+    samples = make_samples(rng, 200, 3)
+    m, v, cov, c, s = map(jnp.asarray, (means, values, covs, conics, samples))
+
+    cfg = SamplerConfig(tile_size=0.51)
+    tiled = GaussianSampler(debug=True, method="tiled", config=cfg)
+    tiled.preprocess(m, v, cov, c, s)
+    chunked = GaussianSampler(debug=True, method="chunked", config=cfg)
+    chunked.preprocess(m, v, cov, c, s)
+
+    ref = tiled.sample_all()
+    got = chunked.sample_all()
+    for order in ref:
+        np.testing.assert_allclose(
+            got[order], ref[order], rtol=2e-4,
+            atol=1e-5 * max(1.0, float(np.abs(ref[order]).max())),
+            err_msg=order,
+        )
+
+
+def test_facade_pallas_aggregation_matches_grid(rng):
+    """preprocess_aggregate(method="pallas") + aggregate_neighbors runs the
+    fused Pallas pair-sweep path from the facade and matches the XLA table
+    path (values AND gradients over all six parameter groups)."""
+    import jax
+
+    means, values, covs, conics = make_gaussians(
+        rng, 40, 2, 3, sigma_range=(0.05, 0.2)
+    )
+    samples = make_samples(rng, 13, 2)
+    m, v, cov, c, s = map(jnp.asarray, (means, values, covs, conics, samples))
+
+    P, L, K, E = 40, 4, 4, 9
+    r = np.random.default_rng(7)
+    args = (
+        jnp.asarray(r.normal(size=(P, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(L, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(P, K)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(P, K)).astype(np.float32)),
+        jnp.asarray(np.arange(1.0, 3.0).astype(np.float32)),
+        jnp.asarray(r.normal(size=(2 * E,)).astype(np.float32)),
+    )
+
+    grid = GaussianSampler(debug=True)
+    grid.preprocess(m, v, cov, c, s)
+    grid.preprocess_aggregate(neighbor_capacity=64)
+
+    pal = GaussianSampler(debug=True)
+    pal.preprocess(m, v, cov, c, s)
+    pal.preprocess_aggregate(method="pallas")
+    from dgs_tpu.ops.aggregation import AggBinning
+    assert isinstance(pal.neighbors, AggBinning)
+
+    ref = grid.aggregate_neighbors(*args)
+    got = pal.aggregate_neighbors(*args)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) ** 2)
+
+    g_ref = jax.grad(loss(grid.aggregate_neighbors), argnums=tuple(range(6)))(*args)
+    g_got = jax.grad(loss(pal.aggregate_neighbors), argnums=tuple(range(6)))(*args)
+    for i, (a, b) in enumerate(zip(g_got, g_ref)):
+        np.testing.assert_allclose(
+            a, b, rtol=3e-4, atol=3e-4 * max(1.0, float(np.abs(b).max())),
+            err_msg=f"grad group {i}",
+        )
+
+
+def test_module_level_pallas_aggregate_dispatch(rng):
+    """The module-level aggregate_neighbors dispatches on the structure."""
+    import dgs_tpu
+    from dgs_tpu.ops import aggregation
+
+    means, values, covs, conics = make_gaussians(
+        rng, 24, 2, 3, sigma_range=(0.05, 0.2)
+    )
+    m, cov, c = map(jnp.asarray, (means, covs, conics))
+    from dgs_tpu.oracle.dense import radii as compute_radii
+
+    cfg = SamplerConfig()
+    rad = compute_radii(cov, 2, cfg.radius_sigma, cfg.eig_floor)
+    cfg2, plan = aggregation.plan_pallas(cfg, m, rad)
+    agg = aggregation.preprocess_pallas(cfg2, m, c, rad, plan)
+
+    P, L, K, E = 24, 3, 3, 5
+    r = np.random.default_rng(5)
+    out = dgs_tpu.aggregate_neighbors(
+        jnp.asarray(r.normal(size=(P, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(L, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(P, K)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(P, K)).astype(np.float32)),
+        jnp.asarray(np.arange(1.0, 2.0).astype(np.float32)),
+        jnp.asarray(r.normal(size=(2 * E,)).astype(np.float32)),
+        agg,
+    )
+    assert out.shape == (P, L)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_facade_dense_method_matches_tiled_masked(rng):
     means, values, covs, conics = make_gaussians(
         rng, 15, 2, 2, sigma_range=(0.8, 1.1)
