@@ -93,24 +93,40 @@ def _pair(D, period, ent_ref, ctr_ref):
     return Xs, jnp.where(mask, G, 0.0), e, c
 
 
-def _sincode(D, nfreq, Xn, dtf_ref, E, want_terms: bool):
+def _sincode(D, nfreq, Xn, dtf_ref, E, want_terms: bool,
+             ladder: bool = False):
     """Sinusoidal positional code (aggregate_neighbors.cu:178-193).
 
     Returns (emb, fac, terms); terms[(d, e)] = (s, c, i0) kept only when the
-    backward needs them for the dt/frequency gradients."""
+    backward needs them for the dt/frequency gradients.
+
+    ``ladder`` is the caller's certification that the frequencies form the
+    exact integer ladder frequencies[e] == (e+1) * frequencies[0] (the
+    standard sinusoidal-embedding parameterization, and how
+    models/dynamics.py initializes them).  Then only the BASE phase needs
+    transcendentals: sin/cos of every higher rung follow from the
+    angle-addition recurrence s_{e+1} = s_e c_1 + c_e s_1,
+    c_{e+1} = c_e c_1 - s_e s_1 (4 FMAs) - the 2*nfreq*D per-pair sin/cos
+    were measured at 8.1 of 26.7 ms per step at P=100k, and a generic fused
+    sincos polynomial has no headroom (~30 VPU ops vs the builtins' ~29);
+    exploiting the ladder structure is the only way to remove them.  The
+    frequency GRADIENTS are per-rung partials either way (the chain to a
+    shared base scalar composes outside by autodiff)."""
     stride = (E - 1) // D
     shape = Xn[0].shape
     emb = jnp.full(shape, dtf_ref[0, E - 1])
     fac = jnp.full(shape, dtf_ref[0, 2 * E - 1])
     terms = {}
     for d in range(D):
+        s = cs = s1 = c1 = None
         for e in range(nfreq):
-            phase = (dtf_ref[0, 2 * E + e] * jnp.pi) * Xn[d]
-            # The 2*nfreq*D transcendentals are ~30% of the step (measured
-            # by ablation: 8.1 of 26.7 ms at P=100k).  A fused
-            # shared-range-reduction sincos polynomial was sized at ~30 VPU
-            # ops/pair vs the builtins' ~29 - no headroom there.
-            s, cs = jnp.sin(phase), jnp.cos(phase)
+            if ladder and e > 0:
+                s, cs = s * c1 + cs * s1, cs * c1 - s * s1
+            else:
+                phase = (dtf_ref[0, 2 * E + e] * jnp.pi) * Xn[d]
+                s, cs = jnp.sin(phase), jnp.cos(phase)
+                if ladder:
+                    s1, c1 = s, cs
             i0 = d * stride + 2 * e
             emb = emb + s * dtf_ref[0, i0] + cs * dtf_ref[0, i0 + 1]
             fac = fac + s * dtf_ref[0, E + i0] + cs * dtf_ref[0, E + i0 + 1]
@@ -214,7 +230,7 @@ def totals(D: int, period, wl, ent_geo, ctr_geo,
 # ---------------------------------------------------------------------------
 
 
-def _forward_kernel(D, L, K, nfreq, E, period, *refs):
+def _forward_kernel(D, L, K, nfreq, E, period, ladder, *refs):
     aux_ref = refs[0]
     ent_ref, ent_fk_ref, ctr_ref, dtf_ref, out_ref = refs[2:]
     a_w = aux_ref[pl.program_id(0)]
@@ -230,7 +246,7 @@ def _forward_kernel(D, L, K, nfreq, E, period, *refs):
         inv_norm = c(D + C_INVNORM)
         inv_tot = c(D + C_INVTOT)
         Xn = [x * inv_norm for x in Xs]
-        emb, fac, _ = _sincode(D, nfreq, Xn, dtf_ref, E, False)
+        emb, fac, _ = _sincode(D, nfreq, Xn, dtf_ref, E, False, ladder)
         coeff = G * w * inv_tot                      # (Bc, Be)
         # pre[c, l] = sum_e (coeff * fac)[c, e] * feat[l, e] on the MXU,
         # plus the embedding's broadcast column (the same scalar feeds every
@@ -252,7 +268,8 @@ def _forward_kernel(D, L, K, nfreq, E, period, *refs):
 
 def forward(D: int, L: int, K: int, nfreq: int, period,
             wl, ent_geo, ent_fk, ctr_geo, dtf,
-            *, block_n: int, block_e: int) -> jnp.ndarray:
+            *, block_n: int, block_e: int,
+            ladder: bool = False) -> jnp.ndarray:
     """(Cp, L) raw pre-activation (before the LxL transform - one XLA
     matmul outside, exact because the transform is linear)."""
     aux, col = wl
@@ -280,7 +297,8 @@ def forward(D: int, L: int, K: int, nfreq: int, period,
         out_specs=pl.BlockSpec((block_n, L), row_map),
     )
     return pl.pallas_call(
-        functools.partial(_forward_kernel, D, L, K, nfreq, E, period),
+        functools.partial(_forward_kernel, D, L, K, nfreq, E, period,
+                          ladder),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Cp, L), jnp.float32),
         interpret=_interpret(),
@@ -292,7 +310,7 @@ def forward(D: int, L: int, K: int, nfreq: int, period,
 # ---------------------------------------------------------------------------
 
 
-def _backward_kernel(D, L, K, nfreq, E, period, *refs):
+def _backward_kernel(D, L, K, nfreq, E, period, ladder, *refs):
     """Fused backward (aggregateNeighborsBackward,
     aggregate_neighbors.cu:210-321) in a single pair sweep: the per-entry
     gradient rows (features, keys) accumulate across the entry chunk's
@@ -318,7 +336,7 @@ def _backward_kernel(D, L, K, nfreq, E, period, *refs):
         w = _queries_w(D, L, K, ent_fk_ref, c)
         inv_norm = c(D + C_INVNORM)
         Xn = [x * inv_norm for x in Xs]
-        emb, fac, terms = _sincode(D, nfreq, Xn, dtf_ref, E, True)
+        emb, fac, terms = _sincode(D, nfreq, Xn, dtf_ref, E, True, ladder)
         gsum = gsum_ref[...]
         # The cotangent arrives pre-scaled by inv_tot_i (see module
         # docstring), so coeff here is G * w only.
@@ -387,7 +405,7 @@ def _racc(acc, x):
 
 def backward(D: int, L: int, K: int, nfreq: int, period,
              wl, ent_geo, ent_fk, ctr_geo, dtf, gpre, gsum,
-             *, block_n: int, block_e: int):
+             *, block_n: int, block_e: int, ladder: bool = False):
     """One fused backward sweep over the entry-chunk-major work list.
 
     Returns (dent, slab):
@@ -435,7 +453,8 @@ def backward(D: int, L: int, K: int, nfreq: int, period,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_backward_kernel, D, L, K, nfreq, E, period),
+        functools.partial(_backward_kernel, D, L, K, nfreq, E, period,
+                          ladder),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((L + K, Ep), jnp.float32),

@@ -43,7 +43,12 @@ class DynamicsParams(NamedTuple):
 
 
 def init_dynamics_params(key, P: int, L: int, D: int, *, n_heads: int = 4,
-                         n_freq: int = 2) -> DynamicsParams:
+                         n_freq: int = 2,
+                         ladder: bool = False) -> DynamicsParams:
+    """``ladder``: parameterize the frequency ladder by its learnable BASE
+    scalar (frequencies = base * (1..n_freq), built in rollout_step) so the
+    Pallas kernels can use the angle-addition sincos recurrence; otherwise
+    each rung is independently learnable as in the reference."""
     E = 2 * D * n_freq + 1
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     scale = 0.1
@@ -51,7 +56,8 @@ def init_dynamics_params(key, P: int, L: int, D: int, *, n_heads: int = 4,
         transform=jax.random.normal(k1, (L, L)) * scale / L**0.5,
         queries=jax.random.normal(k2, (P, n_heads)) * scale,
         keys=jax.random.normal(k3, (P, n_heads)) * scale,
-        frequencies=jnp.arange(1, n_freq + 1, dtype=jnp.float32),
+        frequencies=(jnp.ones((1,), jnp.float32) if ladder
+                     else jnp.arange(1, n_freq + 1, dtype=jnp.float32)),
         distance_transform=jax.random.normal(k5, (2 * E,)) * scale,
     )
 
@@ -70,26 +76,44 @@ def advection_diffusion_solution(D: int, kappa: float = 0.05,
     return u_star
 
 
-def rollout_step(params: DynamicsParams, values, nbr):
+def rollout_step(params: DynamicsParams, values, nbr, *,
+                 ladder: bool = False):
     """values <- values + aggregate(values)  (residual dynamics update).
     Dispatches on the neighbor structure: the XLA table path
     (aggregation.Neighbors) or the Pallas chunked-pair-sweep path
-    (aggregation.AggBinning)."""
+    (aggregation.AggBinning).
+
+    ``ladder``: params.frequencies is a (1,) learnable BASE and the full
+    ladder base * (1..nfreq) is built here - autodiff chains the per-rung
+    gradients onto the base - so the Pallas kernels can replace most
+    per-pair sin/cos with the angle-addition recurrence
+    (aggregate_pallas ladder_frequencies)."""
+    freqs = params.frequencies
+    if ladder:
+        D = (nbr.ctr_static.shape[1] - 3
+             if isinstance(nbr, aggregation.AggBinning)
+             else nbr.dists.shape[-1])
+        E = params.distance_transform.shape[0] // 2
+        nfreq = (E - 1) // D // 2
+        freqs = params.frequencies[0] * jnp.arange(
+            1, nfreq + 1, dtype=jnp.float32)
     if isinstance(nbr, aggregation.AggBinning):
         agg = aggregation.aggregate_pallas(
             values, params.transform, params.queries, params.keys,
-            params.frequencies, params.distance_transform, nbr,
+            freqs, params.distance_transform, nbr,
+            ladder_frequencies=ladder,
         )
     else:
         agg = aggregation.aggregate(
             values, params.transform, params.queries, params.keys,
-            params.frequencies, params.distance_transform, nbr,
+            freqs, params.distance_transform, nbr,
         )
     return values + agg
 
 
 def make_value_eval(cfg: SamplerConfig, field: GaussianField,
-                    eval_method: str = "dense", n_eval: int = 4096):
+                    eval_method: str = "dense", n_eval: int = 4096,
+                    with_overflow: bool = False):
     """(values, x) -> u(x) evaluator for a fixed cloud geometry, for
     batches of ``n_eval`` points.
 
@@ -99,13 +123,16 @@ def make_value_eval(cfg: SamplerConfig, field: GaussianField,
     viable path at 100k+ Gaussians, where dense pair arrays are tens of
     GB).  Sample points may differ per call (sample_binned re-bins
     in-trace); a fresh random batch is probed eagerly once and must show
-    zero overflow."""
+    zero overflow.  ``with_overflow``: the evaluator returns
+    (u, overflow_total) so training loops can log in-step capacity drift
+    (always 0 on the dense path)."""
     conics = field.conics()
     if eval_method == "dense":
         def eval_u(values, x):
-            return sampling.sample_dense(
+            u = sampling.sample_dense(
                 "value", field.means, values, conics, x, period=cfg.period
             )
+            return (u, jnp.zeros((), jnp.int32)) if with_overflow else u
         return eval_u
 
     import dataclasses
@@ -126,8 +153,11 @@ def make_value_eval(cfg: SamplerConfig, field: GaussianField,
     )
 
     def eval_u(values, x):
-        outs, _ = sampling.sample_binned(
+        outs, diag = sampling.sample_binned(
             cfg_s, field.means, values, conics, covs, x, ("value",))
+        if with_overflow:
+            of = sum(v for k, v in diag.items() if k != "perm")
+            return outs["value"], of.astype(jnp.int32)
         return outs["value"]
 
     # One eager probe on a fresh batch: the capacities must hold for
@@ -176,17 +206,36 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
           learning_rate: float = 3e-3, n_eval: int = 2048, seed: int = 0,
           neighbor_capacity: int = 64, kappa: float = 0.05,
           log_every: int = 50, logger=None, method: str = "grid",
-          eval_method: str = "dense"):
+          eval_method: str = "dense", ladder_frequencies: bool = False,
+          scan_chunk: int = 0):
     """Train the dynamics net to roll the field forward in time.
 
-    Returns (params, history).  loss = mean over rollout steps r of
-    mean((u_model(x, r*dt) - u*(x, r*dt))^2) at fresh sample points.
+    Returns (params, history).  Per training step, one fresh batch of
+    sample points x and loss = mean over rollout depths r of
+    mean((u_model(x, r*dt) - u*(x, r*dt))^2).
+
+    Production loop shape (the sampling loop's, models/pigs.py):
+      * The rollout's field evaluations are BATCHED into one sampler call:
+        the per-depth value vectors ride as channels (P, rollout*C), so the
+        binning and the pair sweep run once per step instead of once per
+        depth - the field u is linear in the values, so stacking channels
+        is exact.  (This also means one sampler instantiation in the
+        compiled graph, not ``rollout`` of them.)
+      * ``scan_chunk`` > 1 runs that many optimizer steps per device
+        program via lax.scan (grad-inside-scan, like pigs.train - per-call
+        dispatch costs ~20-30 ms on tunneled devices); 0 picks
+        min(log_every, 32).  Metrics sync once per chunk.
 
     ``method``: "grid" (XLA neighbor-table path) or "pallas" (the chunked
     pair-sweep kernels - the production path at large P, where the table
     path's (P, NC, .) HBM traffic dominates).  ``eval_method``: "dense" or
     "tiled" (required at large P - see make_value_eval).
+    ``ladder_frequencies``: shared-base frequency ladder + the kernels'
+    angle-addition sincos recurrence (see rollout_step).
     """
+    import functools
+    import time
+
     u_star = advection_diffusion_solution(D, kappa=kappa)
     key = jax.random.PRNGKey(seed)
     key, k_field, k_params = jax.random.split(key, 3)
@@ -198,8 +247,6 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
                         cfg.eig_floor)
     conics = field.conics()
     if method == "pallas":
-        import functools
-
         cfg_a, aplan = aggregation.plan_pallas(
             cfg.with_dims(D), field.means, rad)
         nbr = jax.jit(functools.partial(
@@ -209,49 +256,54 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
         nbr = aggregation.preprocess_grid(
             cfg.with_dims(D), field.means, conics, rad, neighbor_capacity
         )
-    params = init_dynamics_params(k_params, P, 1, D)
+    params = init_dynamics_params(k_params, P, 1, D,
+                                  ladder=ladder_frequencies)
     opt = optax.adam(learning_rate)
-    eval_u = make_value_eval(cfg, field, eval_method, n_eval=n_eval)
+    eval_u = make_value_eval(cfg, field, eval_method, n_eval=n_eval,
+                             with_overflow=True)
 
     def loss_fn(params, key):
-        # Python-unrolled rollout (a handful of steps): a lax.scan body
-        # here would put the binned sampler's custom-vjp closures behind a
-        # scan trace boundary, which leaks their work-list tracers into the
-        # outer grad trace.
-        values, errs = field.values, []
+        # Aggregation rollout (Python-unrolled: a handful of steps), then
+        # ONE batched field evaluation of every depth's values.
+        values, stacked = field.values, []
         for r in range(rollout):
-            values = rollout_step(params, values, nbr)
-            x = jax.random.uniform(
-                jax.random.fold_in(key, r), (n_eval, D),
-                minval=-1.0, maxval=1.0,
-            )
-            u = eval_u(values, x)
-            errs.append(jnp.mean((u - u_star(x, (r + 1.0) * dt)) ** 2))
-        return jnp.mean(jnp.stack(errs))
+            values = rollout_step(params, values, nbr,
+                                  ladder=ladder_frequencies)
+            stacked.append(values)
+        V = jnp.concatenate(stacked, axis=1)            # (P, rollout*C)
+        x = jax.random.uniform(key, (n_eval, D), minval=-1.0, maxval=1.0)
+        u, overflow = eval_u(V, x)                      # (n_eval, rollout)
+        tgt = jnp.concatenate(
+            [u_star(x, (r + 1.0) * dt) for r in range(rollout)], axis=1)
+        return jnp.mean((u - tgt) ** 2), overflow
 
-    @jax.jit
-    def step(params, opt_state, key):
-        l, g = jax.value_and_grad(loss_fn)(params, key)
+    def body(carry, key):
+        params, opt_state = carry
+        (l, of), g = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
         updates, opt_state = opt.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
+        return (optax.apply_updates(params, updates), opt_state), (l, of)
 
-    import time
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(carry, key, n):
+        return jax.lax.scan(body, carry, jax.random.split(key, n))
 
-    opt_state = opt.init(params)
-    history = []
-    for i in range(steps):
+    carry = (params, opt.init(params))
+    chunk = scan_chunk if scan_chunk > 0 else max(min(log_every, 32), 1)
+    history, i = [], 0
+    nbr_of = int(jax.device_get(nbr.overflow))
+    while i < steps:
+        n = min(chunk, steps - i)
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        params, opt_state, l = step(params, opt_state, sub)
-        if i % log_every == 0 or i == steps - 1:
-            # Sync only on logged steps: a per-step float(l) would add the
-            # ~26 ms fixed device->host tunnel latency to EVERY step.
-            rec = {"step": i, "loss": float(l),
-                   # First-step records include compilation; take min over
-                   # records for the warm step time.
-                   "t_step_s": time.perf_counter() - t0,
-                   "nbr_overflow": int(nbr.overflow)}
-            history.append(rec)
-            if logger is not None:
-                logger.log(rec)
-    return params, history
+        carry, (ls, ofs) = run(carry, sub, n)
+        # One sync per chunk; the first chunk's time includes compilation -
+        # take min over records for the warm step time.
+        rec = {"step": i + n - 1, "loss": float(ls[-1]),
+               "t_step_s": (time.perf_counter() - t0) / n,
+               "eval_overflow": int(jax.device_get(ofs[-1])),
+               "nbr_overflow": nbr_of}
+        i += n
+        history.append(rec)
+        if logger is not None:
+            logger.log(rec)
+    return carry[0], history

@@ -464,8 +464,65 @@ def plan_pallas(cfg: SamplerConfig, means, radii, *, block_n: int = 32,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6),
-                   static_argnames=("plan", "block_n", "block_e"))
+def plan_pallas_sharded(cfg: SamplerConfig, means, radii, n_shards: int,
+                        *, block_n: int = 32, block_e: int = 128,
+                        auto_tile: bool = True):
+    """Host-side plan for tile-range model-parallel aggregation shards.
+
+    Partitions the tile grid into ``n_shards`` contiguous ranges balanced by
+    entry-chunk count, and returns (cfg', plan, ranges) where ``plan`` holds
+    the MAX per-shard capacities (so every shard's structure has identical
+    static shapes and they stack for shard_map; see
+    parallel/mesh.sharded_aggregate)."""
+    import numpy as np
+
+    from ..binning import chunked
+    from ..binning import grid as binning
+
+    P, D = means.shape
+    cfg, gplan = plan_pallas(cfg, means, radii, block_n=block_n,
+                             block_e=block_e, auto_tile=auto_tile)
+    r_eff, rho = _collision_geometry(cfg, radii)
+    ent = binning.duplicate_entries(
+        cfg, jnp.asarray(means), rho, gplan.rect, P * gplan.rect ** D)
+    sb = binning.bin_samples(cfg, jnp.asarray(means))
+    em = np.asarray(jax.device_get(chunked.chunk_counts(ent[2], block_e)))
+    cm = np.asarray(jax.device_get(chunked.chunk_counts(sb.s_start, block_n)))
+    T = em.shape[0]
+    # Balanced contiguous tile ranges by cumulative entry chunks.
+    cum = np.cumsum(em)
+    total = max(int(cum[-1]), 1)
+    bounds = [0]
+    for s in range(1, n_shards):
+        bounds.append(int(np.searchsorted(cum, total * s / n_shards)))
+    bounds.append(T)
+    ranges = tuple((bounds[i], max(bounds[i + 1], bounds[i]))
+                   for i in range(n_shards))
+
+    start_np = np.asarray(jax.device_get(ent[2]))
+    caps = dict(entries=128, e_chunks=1, c_chunks=1, work_fwd=1, work_bwd=1)
+    for t0, t1 in ranges:
+        em_s = em[t0:t1]
+        cm_s = cm[t0:t1]
+        n_ent = int(start_np[t1] - start_np[t0])
+        caps["entries"] = max(caps["entries"], -(-n_ent // 128) * 128)
+        caps["e_chunks"] = max(caps["e_chunks"], int(em_s.sum()))
+        caps["c_chunks"] = max(caps["c_chunks"], int(cm_s.sum()))
+        caps["work_fwd"] = max(
+            caps["work_fwd"], int((cm_s * np.maximum(em_s, 1)).sum()))
+        caps["work_bwd"] = max(
+            caps["work_bwd"], int((em_s * np.maximum(cm_s, 1)).sum()))
+    # The shard layouts clamp the GLOBAL range tables, so chunk layouts are
+    # sized over all T tiles but only the shard's tiles are non-empty; the
+    # entry capacity must still admit the global compact list (the slice
+    # indices are global).
+    caps["entries"] = gplan.entries
+    return cfg, AggPlan(rect=gplan.rect, **caps), ranges
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7),
+                   static_argnames=("plan", "block_n", "block_e",
+                                    "tile_range"))
 def preprocess_pallas(
     cfg: SamplerConfig,
     means: jnp.ndarray,   # (P, D)
@@ -474,12 +531,21 @@ def preprocess_pallas(
     plan: AggPlan,
     block_n: int = 32,
     block_e: int = 128,
+    tile_range: Optional[Tuple[int, int]] = None,
 ) -> AggBinning:
     """Build the Pallas aggregation structure (jit-compatible, static caps
     from plan_pallas).  Replaces findCollisions + preprocess
     (aggregate_neighbors.cu:18-127): per-tile chunk-padded candidate sweeps
     instead of the O(P^2) matrix, and the per-center total density from one
     cheap Pallas pair sweep instead of materialized CSR density arrays.
+
+    ``tile_range=(t0, t1)`` restricts the structure to tiles [t0, t1) - the
+    model-parallel shard form (parallel/mesh.py): entries and centers are
+    tile-sorted, so a tile range is a contiguous slice of the global
+    binning, realized by clamping the range tables (work lists and chunk
+    layouts then cover only the shard's tiles).  Work items pair same-tile
+    chunks, so every pair of a shard's centers is shard-local, and totals /
+    aggregation over the shard are complete for its centers.
     """
     from ..binning import chunked
     from ..binning import grid as binning
@@ -497,6 +563,14 @@ def preprocess_pallas(
         cfg, means, rho, plan.rect, min(P * plan.rect ** D, plan.entries)
     )
     sb = binning.bin_samples(cfg, means)
+    s_start = sb.s_start
+    if tile_range is not None:
+        # Clamp the range tables to [t0, t1): out-of-range tiles collapse
+        # to empty; in-range offsets stay GLOBAL, so the chunk layouts'
+        # source indices keep pointing into the global sorted arrays.
+        t0, t1 = tile_range
+        start = jnp.clip(start, start[t0], start[t1])
+        s_start = jnp.clip(s_start, s_start[t0], s_start[t1])
 
     # Chunk-padded entry side: gid rides one 1-D gather, geometry one row
     # gather; the periodic image index is recomputed from (tile, rect lo)
@@ -524,7 +598,7 @@ def preprocess_pallas(
     # Chunk-padded center side (the sample half of the binning machinery):
     # one 1-D gather for the id, one packed row gather for the geometry.
     csrc, cvalid, _, _, cbase, cm, c_of = chunked.chunk_layout(
-        sb.s_start, block_n, plan.c_chunks)
+        s_start, block_n, plan.c_chunks)
     cid = jnp.where(cvalid, sb.s_perm[csrc], P)
     inv_norm = 1.0 / (radii * 0.333 + 1e-6)
     ctr_tab = jnp.concatenate(
@@ -552,7 +626,10 @@ def preprocess_pallas(
     inv_tot = 1.0 / (tot + 1e-6)
     ctr_static = jnp.concatenate([ctr_pre[:, :-1], inv_tot], axis=1)
 
-    pos = jnp.zeros((P + 1,), jnp.int32).at[cid].set(
+    # Sentinel Cp (not 0) for centers absent from this structure - only
+    # possible under a tile_range shard - so consumers can route them to an
+    # explicit zero row instead of stealing slot 0's values.
+    pos = jnp.full((P + 1,), Cp, jnp.int32).at[cid].set(
         jnp.arange(Cp, dtype=jnp.int32), mode="drop"
     )[:P]
     overflow = (rect_of + ent_of + e_of + c_of + wf_of + wb_of
@@ -574,6 +651,8 @@ def aggregate_pallas(
     agg: AggBinning,
     *, period: Optional[float] = None,
     block_n: int = 32, block_e: int = 128,
+    ladder_frequencies: bool = False,
+    padded_outputs: bool = False,
 ) -> jnp.ndarray:
     """Forward aggregation through the Pallas kernels; differentiable in all
     six parameter groups (the reference's contract,
@@ -591,8 +670,24 @@ def aggregate_pallas(
     same-tile pairs, and pairs beyond the collision radius are masked in
     both conventions.  Pass the real period only for degenerate footprints
     that cover the whole grid (plan.rect == max grid extent), where the
-    full-cover rect collapse emits unshifted entries."""
+    full-cover rect collapse emits unshifted entries.
+
+    ``ladder_frequencies`` certifies frequencies[e] == (e+1)*frequencies[0]
+    exactly (the standard sinusoidal-embedding ladder): the kernels then
+    evaluate one sin/cos per dim and derive the higher rungs by the
+    angle-addition recurrence (kernels/aggregate._sincode), removing most
+    per-pair transcendentals.  Gradients stay per-rung partials, so a
+    shared-base parameterization built OUTSIDE (freqs = base * arange(1,
+    nfreq+1)) chains correctly by autodiff.  Passing it with non-ladder
+    frequencies silently computes the wrong code - it is a certification,
+    not a request."""
     from ..kernels import aggregate as kagg
+
+    # The binning structure is non-differentiable; it enters the custom_vjp
+    # as EXPLICIT arguments (zero / float0 cotangents) rather than closure
+    # captures: a closure capturing tracers breaks when the VJP runs in a
+    # different trace than the forward (grad OF a shard_map, scan).
+    agg = jax.tree.map(jax.lax.stop_gradient, agg)
 
     P, L = features.shape
     K = queries.shape[1]
@@ -601,72 +696,115 @@ def aggregate_pallas(
     nfreq = (E - 1) // D // 2
     Cp = agg.ctr_static.shape[0]
 
-    def _gather(features, queries, keys, frequencies, distance_transform):
+    def _gather(features, queries, keys, frequencies, distance_transform,
+                ent_gid, ctr_static, cid):
         fk = jnp.concatenate([features, keys], axis=1)
         fk = jnp.concatenate([fk, jnp.zeros((1, L + K), fk.dtype)], 0)
-        ent_fk = fk[agg.ent_gid].T                      # (L+K, Ep)
+        ent_fk = fk[ent_gid].T                          # (L+K, Ep)
         q_tab = jnp.concatenate([queries, jnp.zeros((1, K), queries.dtype)])
-        ctr_geo = jnp.concatenate([agg.ctr_static, q_tab[agg.cid]], axis=1)
+        ctr_geo = jnp.concatenate([ctr_static, q_tab[cid]], axis=1)
         dtf = jnp.concatenate(
             [distance_transform, frequencies[:nfreq]])[None, :]
         return ent_fk, ctr_geo, dtf
 
     @jax.custom_vjp
-    def raw_pre(features, queries, keys, frequencies, distance_transform):
+    def raw_pre(features, queries, keys, frequencies, distance_transform,
+                ent_gid, ent_geo, ctr_static, cid, pos,
+                wf_aux, wf_col, wb_aux, wb_col):
         ent_fk, ctr_geo, dtf = _gather(
-            features, queries, keys, frequencies, distance_transform)
+            features, queries, keys, frequencies, distance_transform,
+            ent_gid, ctr_static, cid)
         return kagg.forward(
-            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
+            D, L, K, nfreq, period, (wf_aux, wf_col), ent_geo,
             ent_fk, ctr_geo, dtf, block_n=block_n, block_e=block_e,
+            ladder=ladder_frequencies,
         )
 
-    def raw_pre_fwd(features, queries, keys, frequencies, distance_transform):
+    def raw_pre_fwd(features, queries, keys, frequencies, distance_transform,
+                    ent_gid, ent_geo, ctr_static, cid, pos,
+                    wf_aux, wf_col, wb_aux, wb_col):
         ent_fk, ctr_geo, dtf = _gather(
-            features, queries, keys, frequencies, distance_transform)
+            features, queries, keys, frequencies, distance_transform,
+            ent_gid, ctr_static, cid)
         pre = kagg.forward(
-            D, L, K, nfreq, period, agg.wl_fwd, agg.ent_geo,
+            D, L, K, nfreq, period, (wf_aux, wf_col), ent_geo,
             ent_fk, ctr_geo, dtf, block_n=block_n, block_e=block_e,
+            ladder=ladder_frequencies,
         )
         # Residuals: the gathered operand layouts (re-gathering ~3x the
-        # parameter rows costs more than the HBM they hold).
-        return pre, (ent_fk, ctr_geo, dtf, frequencies)
+        # parameter rows costs more than the HBM they hold) + the structure
+        # arrays the backward consumes.
+        return pre, (ent_fk, ctr_geo, dtf, frequencies,
+                     ent_gid, ent_geo, ctr_static, pos, wb_aux, wb_col)
 
     def raw_pre_bwd(res, g):
-        ent_fk, ctr_geo, dtf, frequencies = res
+        (ent_fk, ctr_geo, dtf, frequencies,
+         ent_gid, ent_geo, ctr_static, pos, wb_aux, wb_col) = res
         # Every center's contribution is linear in its inv_total: fold it
         # into the cotangent so the backward kernels never touch it.
-        g = g * agg.ctr_static[:, D + 2:D + 3]          # (Cp, L)
+        g = g * ctr_static[:, D + 2:D + 3]              # (Cp, L)
         gsum = jnp.sum(g, axis=1, keepdims=True)
         dent, slab = kagg.backward(
-            D, L, K, nfreq, period, agg.wl_bwd, agg.ent_geo,
+            D, L, K, nfreq, period, (wb_aux, wb_col), ent_geo,
             ent_fk, ctr_geo, dtf, g, gsum,
-            block_n=block_n, block_e=block_e,
+            block_n=block_n, block_e=block_e, ladder=ladder_frequencies,
         )
         # By-gaussian reduction of the per-entry rows.  XLA fuses the
         # lane->row transpose into its sorted-scatter lowering; a
         # gather-compacted variant (drop pad rows first) measured slower -
         # the standalone transpose+gather costs more than the scatter rows
         # it saves.
-        d = jax.ops.segment_sum(dent.T, agg.ent_gid, num_segments=P + 1)[:P]
+        d = jax.ops.segment_sum(dent.T, ent_gid, num_segments=P + 1)[:P]
         # Per-item center slabs -> per-center-chunk sums (a ~5k-row
         # scatter), then un-chunk with a free reshape.
-        W = agg.wl_bwd[0].shape[0]
+        W = wb_aux.shape[0]
         S = K + 2 * E + nfreq
         ctr_out = jax.ops.segment_sum(
-            slab.reshape(W, block_n * S), agg.wl_bwd[1],
+            slab.reshape(W, block_n * S), wb_col,
             num_segments=Cp // block_n,
         ).reshape(Cp, S)
         # Full-row gather, THEN slice: a (pos, :K) mixed index gathers
-        # partial rows, which XLA serializes into a while loop.
-        dq = ctr_out[agg.pos][:, :K]                    # unpad+unsort (P, K)
+        # partial rows, which XLA serializes into a while loop.  The extra
+        # zero row serves pos == Cp sentinels (centers outside a
+        # tile_range shard must contribute ZERO dq, not slot garbage).
+        ctr_out = jnp.concatenate(
+            [ctr_out, jnp.zeros((1, S), ctr_out.dtype)], 0)
+        dq = ctr_out[pos][:, :K]                        # unpad+unsort (P, K)
         ddt = jnp.sum(ctr_out[:, K:K + 2 * E], axis=0)
         dfreq = jnp.zeros_like(frequencies).at[:nfreq].set(
             jnp.sum(ctr_out[:, K + 2 * E:], axis=0)
         )
-        return d[:, :L], dq, d[:, L:], dfreq, ddt
+        import numpy as np
+
+        def _zero_ct(x):
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return jnp.zeros_like(x)
+            return np.zeros(x.shape, jax.dtypes.float0)
+
+        return (d[:, :L], dq, d[:, L:], dfreq, ddt,
+                _zero_ct(ent_gid), jnp.zeros_like(ent_geo),
+                jnp.zeros_like(ctr_static), _zero_ct(jnp.zeros(Cp, jnp.int32)),
+                _zero_ct(jnp.zeros(P, jnp.int32)),
+                _zero_ct(wb_aux), _zero_ct(wb_col),
+                _zero_ct(wb_aux), _zero_ct(wb_col))
 
     raw_pre.defvjp(raw_pre_fwd, raw_pre_bwd)
 
-    pre = raw_pre(features, queries, keys, frequencies, distance_transform)
+    pre = raw_pre(features, queries, keys, frequencies, distance_transform,
+                  agg.ent_gid, agg.ent_geo, agg.ctr_static, agg.cid, agg.pos,
+                  agg.wl_fwd[0], agg.wl_fwd[1], agg.wl_bwd[0], agg.wl_bwd[1])
+    # Chunks beyond the structure's used total (possible when plan capacities
+    # carry cross-shard or drift headroom) receive no work item at all, so
+    # their output rows are uninitialized HBM - mask them out before they can
+    # poison the transform matmul (NaN garbage times a zero cotangent is NaN).
+    pre = jnp.where((agg.cid < P)[:, None], pre, 0.0)
     out_pad = jnp.einsum("cl,lk->ck", pre, transform)   # (Cp, K=L)
+    if padded_outputs:
+        # Raw per-slot rows (slot c is center agg.cid[c]; pad slots carry
+        # zero coefficients) - the model-parallel shard form scatters these
+        # by cid and psums (parallel/mesh.sharded_aggregate).
+        return out_pad
+    # Zero row for pos == Cp sentinels (centers outside a tile_range shard).
+    out_pad = jnp.concatenate(
+        [out_pad, jnp.zeros((1, out_pad.shape[1]), out_pad.dtype)], 0)
     return out_pad[agg.pos]

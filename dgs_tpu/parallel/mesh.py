@@ -289,6 +289,108 @@ def make_model_sharded_pigs_step(cfg: SamplerConfig, mesh: Mesh, optimizer,
     return jax.jit(step), shard_field
 
 
+def build_sharded_aggregation(cfg: SamplerConfig, means, conics, radii,
+                              n_shards: int, *, block_n: int = 32,
+                              block_e: int = 128):
+    """Model-parallel neighbor-aggregation structure: the tile grid is
+    partitioned into ``n_shards`` contiguous ranges (balanced by entry
+    chunks), one AggBinning per range with identical static shapes, stacked
+    on a leading shard axis for shard_map.  Same-tile pairing makes every
+    shard's pair sweep fully shard-local (no halo exchange); the only
+    collectives in the sharded step are the output psum and the replicated
+    parameters' gradient psums (the transpose of replication).
+
+    Returns (cfg', plan, stacked AggBinning)."""
+    from ..ops import aggregation
+
+    cfg2, plan, ranges = aggregation.plan_pallas_sharded(
+        cfg, means, radii, n_shards, block_n=block_n, block_e=block_e)
+    shards = [
+        aggregation.preprocess_pallas(
+            cfg2, means, conics, radii, plan, block_n, block_e,
+            tile_range=r,
+        )
+        for r in ranges
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+    return cfg2, plan, stacked
+
+
+def sharded_aggregate(mesh: Mesh, features, transform, queries, keys,
+                      frequencies, distance_transform, aggs,
+                      *, ladder_frequencies: bool = False,
+                      block_n: int = 32, block_e: int = 128):
+    """Attention aggregation over the Gaussian cloud, model-sharded by tile
+    range (see build_sharded_aggregation; the leading axis of ``aggs``
+    shards over 'model').  Parameters are replicated; each center belongs
+    to exactly one shard, so the padded per-slot outputs scatter into (P, L)
+    and one psum over 'model' assembles the full result.  Differentiable in
+    all six groups: the replication transpose psums the parameter gradients
+    automatically (dfeatures/dkeys from each shard's local entries, dqueries
+    from its local centers, the small globals from all shards)."""
+    from ..ops import aggregation
+
+    n_gauss, L = features.shape
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(), P(), P(), P(), P(), P("model")),
+        out_specs=P(),
+    )
+    def run(f, t, q, k, fr, dt, agg_s):
+        agg = jax.tree.map(lambda x: x[0], agg_s)
+        out_pad = aggregation.aggregate_pallas(
+            f, t, q, k, fr, dt, agg, period=None,
+            block_n=block_n, block_e=block_e,
+            ladder_frequencies=ladder_frequencies, padded_outputs=True,
+        )
+        out = jnp.zeros((n_gauss + 1, L), out_pad.dtype).at[agg.cid].add(
+            out_pad, mode="drop")[:n_gauss]
+        return jax.lax.psum(out, "model")
+
+    return run(features, transform, queries, keys, frequencies,
+               distance_transform, aggs)
+
+
+def make_sharded_dynamics_step(mesh: Mesh, optimizer, aggs, values0,
+                               target_values, *, rollout: int = 2,
+                               ladder_frequencies: bool = False,
+                               block_n: int = 32, block_e: int = 128):
+    """Jitted model-sharded dynamics training step: ``rollout`` residual
+    aggregation updates of the field values through sharded_aggregate, L2
+    loss against target values, Adam on all six parameter groups.  The
+    aggregation subsystem's analogue of make_sharded_pigs_step (the
+    sampling subsystem's sharded step)."""
+    def step(params, opt_state):
+        def loss_fn(params):
+            from ..models.dynamics import DynamicsParams  # noqa: F401
+
+            freqs = params.frequencies
+            if ladder_frequencies:
+                E = params.distance_transform.shape[0] // 2
+                D = aggs.ctr_static.shape[2] - 3
+                nfreq = (E - 1) // D // 2
+                freqs = params.frequencies[0] * jnp.arange(
+                    1, nfreq + 1, dtype=jnp.float32)
+            v = values0
+            for _ in range(rollout):
+                v = v + sharded_aggregate(
+                    mesh, v, params.transform, params.queries, params.keys,
+                    freqs, params.distance_transform, aggs,
+                    ladder_frequencies=ladder_frequencies,
+                    block_n=block_n, block_e=block_e,
+                )
+            return jnp.mean((v - target_values) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax_apply(params, updates), opt_state, loss
+
+    return jax.jit(step)
+
+
 def optax_apply(params, updates):
     import optax
 

@@ -124,3 +124,62 @@ def test_pallas_matches_xla_with_culled_and_open_domain(rng):
     np.testing.assert_allclose(
         out_got, out_ref, rtol=2e-4,
         atol=1e-5 * max(1.0, float(np.abs(np.asarray(out_ref)).max())))
+
+
+@pytest.mark.parametrize("D", [1, 2, 3])
+def test_ladder_frequencies_recurrence(rng, D):
+    """ladder_frequencies=True (angle-addition sincos recurrence) matches
+    the generic per-frequency path exactly when frequencies form the
+    integer ladder base * (1..nfreq) - values and all six gradient groups,
+    including the per-rung frequency partials (and their chain onto a
+    shared learnable base)."""
+    P, L, K, nfreq = 120, 5, 3, 4
+    means, covs, conics, params = _setup(rng, P, D, L, K, nfreq)
+    base = jnp.float32(0.83)
+    params["frequencies"] = base * jnp.arange(1, nfreq + 1,
+                                              dtype=jnp.float32)
+    cfg = SamplerConfig().with_dims(D)
+    rad = compute_radii(covs, D, cfg.radius_sigma, 1e-12)
+
+    cfg2, plan = aggregation.plan_pallas(
+        cfg, means, rad, block_n=16, block_e=128)
+    agg = aggregation.preprocess_pallas(
+        cfg2, means, conics, rad, plan, 16, 128)
+    assert int(agg.overflow) == 0
+
+    def fn(ladder):
+        def run(p):
+            return aggregation.aggregate_pallas(
+                p["features"], p["transform"], p["queries"], p["keys"],
+                p["frequencies"], p["distance_transform"], agg,
+                period=None, block_n=16, block_e=128,
+                ladder_frequencies=ladder,
+            )
+        return run
+
+    out_ref, g_ref = _outputs_and_grads(fn(False), params)
+    out_got, g_got = _outputs_and_grads(fn(True), params)
+    np.testing.assert_allclose(
+        out_got, out_ref, rtol=1e-5,
+        atol=1e-5 * max(1.0, float(np.abs(out_ref).max())))
+    for k in sorted(g_ref):
+        r, g = np.asarray(g_ref[k]), np.asarray(g_got[k])
+        np.testing.assert_allclose(
+            g, r, rtol=1e-4, atol=1e-5 * max(1.0, float(np.abs(r).max())),
+            err_msg=f"dL/d{k} (D={D})",
+        )
+
+    # Shared-base parameterization (models/dynamics.rollout_step): the
+    # base gradient is the ladder-weighted sum of the per-rung partials.
+    def base_loss(ladder):
+        def run(b):
+            p = dict(params)
+            p["frequencies"] = b * jnp.arange(1, nfreq + 1,
+                                              dtype=jnp.float32)
+            out = fn(ladder)(p)
+            return jnp.sum(out * jnp.cos(out))
+        return run
+
+    db_ref = jax.grad(base_loss(False))(base)
+    db_got = jax.grad(base_loss(True))(base)
+    np.testing.assert_allclose(db_got, db_ref, rtol=1e-4, atol=1e-6)

@@ -70,3 +70,19 @@ def test_dynamics_pallas_aggregation_with_tiled_eval_learns():
     )
     assert hist[-1]["nbr_overflow"] == 0
     assert hist[-1]["loss"] < hist[0]["loss"] * 0.7, [h["loss"] for h in hist]
+
+
+def test_dynamics_ladder_frequencies_and_scan_chunk_learns():
+    """Production loop shape: shared-base frequency ladder (angle-addition
+    sincos recurrence in the Pallas kernels), scan-chunked optimizer steps,
+    batched rollout evaluation - loss still converges and the in-step
+    eval overflow stays 0."""
+    params, hist = dynamics.train(
+        SamplerConfig(eig_floor=1e-12), P=300, D=2, steps=30, rollout=2,
+        sigma=0.12, n_eval=512, method="pallas", eval_method="tiled",
+        log_every=10, ladder_frequencies=True, scan_chunk=5,
+    )
+    assert params.frequencies.shape == (1,)
+    assert hist[-1]["nbr_overflow"] == 0
+    assert hist[-1]["eval_overflow"] == 0
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.7, [h["loss"] for h in hist]

@@ -253,3 +253,184 @@ def test_chunked_grad_allreduce_overlap_structure():
         if first is None:
             first = float(metrics["loss"])
     assert float(metrics["loss"]) < first
+
+
+def test_chunked_grad_allreduce_independence_in_compiled_hlo():
+    """Schedule-level overlap evidence on the compiled module (SURVEY.md
+    section 7 last bullet).  The CPU backend's AllReduceCombiner merges
+    small per-chunk reductions (up to 256 ops per group), and its
+    sequential scheduler places collectives without latency hiding - so an
+    instruction-ORDER assertion is vacuous here.  What CAN be asserted on
+    the virtual mesh, after all combining, is the dependence structure the
+    TPU latency-hiding scheduler needs: with enough chunks to force >1
+    combined all-reduce, the FIRST combined all-reduce must be transitively
+    independent of the compute feeding the second - i.e. the compiled
+    program still contains a reduction that can be issued while a large
+    body of backward compute is outstanding."""
+    import re
+
+    CH = 64  # 64 chunks x 5 grad groups > the combiner's 256-op group cap
+    mesh = pmesh.make_mesh((4, 2))
+    cfg = SamplerConfig()
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(0), 64, 2, 1, sigma=0.25)
+    opt = optax.adam(1e-2)
+    state = pigs.TrainState(field, opt.init(field), jnp.zeros((), jnp.int32))
+    state = pmesh.replicate(state, mesh)
+    step = pmesh.make_sharded_pigs_step(
+        cfg, mesh, opt, f_rhs, u_star, n_collocation=8 * CH * 4,
+        method="dense", grad_chunks=CH)
+    txt = step.lower(state, jax.random.PRNGKey(1)).compile().as_text()
+
+    # Parse the ENTRY computation: instruction name -> operand names.
+    entry_lines, in_entry = [], False
+    for l in txt.splitlines():
+        if l.startswith("ENTRY"):
+            in_entry = True
+            continue
+        if in_entry:
+            if l.startswith("}"):
+                break
+            entry_lines.append(l)
+    deps, ars = {}, []
+    for l in entry_lines:
+        m = re.match(r"\s*(%[\w.\-]+) = .*?\((.*)", l)
+        if not m:
+            continue
+        deps[m.group(1)] = re.findall(r"%[\w.\-]+", m.group(2))
+        if re.search(r"= .*all-reduce\(", l):
+            ars.append(m.group(1))
+    assert len(ars) >= 2, (
+        f"expected the 256-op combiner cap to split {CH} chunks' reductions "
+        f"into >= 2 combined all-reduces, found {ars}")
+
+    import functools
+    import sys
+
+    sys.setrecursionlimit(100_000)
+
+    @functools.lru_cache(maxsize=None)
+    def reach(n):
+        out = set()
+        for o in deps.get(n, ()):
+            if o in deps:
+                out.add(o)
+                out |= reach(o)
+        return frozenset(out)
+
+    # Order the ARs by how much feeds them; the smaller one is "first".
+    ars = sorted(ars, key=lambda a: len(reach(a)))
+    first, second = ars[0], ars[-1]
+    assert second not in reach(first), "combined ARs must be independent"
+    only_second = reach(second) - reach(first) - {first}
+    compute = [n for n in only_second if "fusion" in n or "dot" in n]
+    # A large body of compute feeds only the second reduction: the first
+    # can be in flight while all of it runs.
+    assert len(compute) > 100, (len(only_second), len(compute))
+
+
+def test_sharded_aggregation_matches_unsharded():
+    """Model-parallel neighbor aggregation (tile-range shards, SURVEY.md
+    section 5 comm-backend row - the second subsystem's distribution
+    story): outputs AND all six parameter-group gradients from the sharded
+    step must match the single-structure Pallas path on the virtual mesh,
+    and the compiled program must contain a real collective."""
+    from dgs_tpu.ops import aggregation
+    from dgs_tpu.oracle.dense import radii as compute_radii
+    from conftest import make_gaussians
+
+    rng = np.random.default_rng(11)
+    means, _, covs, conics = make_gaussians(rng, 80, 2, 4,
+                                            sigma_range=(0.05, 0.2))
+    m, cov, c = map(jnp.asarray, (means, covs, conics))
+    cfg = SamplerConfig(eig_floor=1e-12)
+    rad = compute_radii(cov, 2, cfg.radius_sigma, cfg.eig_floor)
+
+    P_, L, K, nfreq = 80, 4, 3, 2
+    E = nfreq * 2 * 2 + 1
+    r = np.random.default_rng(5)
+    params = {
+        "features": jnp.asarray(r.normal(size=(P_, L)).astype(np.float32)),
+        "transform": jnp.asarray(r.normal(size=(L, L)).astype(np.float32)),
+        "queries": jnp.asarray(r.normal(size=(P_, K)).astype(np.float32)),
+        "keys": jnp.asarray(r.normal(size=(P_, K)).astype(np.float32)),
+        "frequencies": jnp.asarray(
+            np.arange(1.0, nfreq + 1).astype(np.float32)),
+        "distance_transform": jnp.asarray(
+            r.normal(size=(2 * E,)).astype(np.float32)),
+    }
+
+    # Unsharded reference.
+    cfg2, plan = aggregation.plan_pallas(cfg, m, rad, block_n=16)
+    agg = aggregation.preprocess_pallas(cfg2, m, c, rad, plan, 16, 128)
+    assert int(agg.overflow) == 0
+
+    def loss_ref(p):
+        out = aggregation.aggregate_pallas(
+            p["features"], p["transform"], p["queries"], p["keys"],
+            p["frequencies"], p["distance_transform"], agg,
+            block_n=16,
+        )
+        return jnp.sum(out * jnp.cos(out)), out
+
+    # Sharded over model=4.
+    mesh = pmesh.make_mesh((2, 4))
+    cfg3, plan_s, aggs = pmesh.build_sharded_aggregation(
+        cfg, m, c, rad, 4, block_n=16)
+    assert cfg3.tile_size == cfg2.tile_size
+    assert int(jnp.sum(aggs.overflow)) == 0
+
+    def loss_sh(p):
+        out = pmesh.sharded_aggregate(
+            mesh, p["features"], p["transform"], p["queries"], p["keys"],
+            p["frequencies"], p["distance_transform"], aggs,
+            block_n=16,
+        )
+        return jnp.sum(out * jnp.cos(out)), out
+
+    (l_ref, out_ref), g_ref = jax.value_and_grad(loss_ref, has_aux=True)(params)
+    (l_sh, out_sh), g_sh = jax.value_and_grad(loss_sh, has_aux=True)(params)
+    np.testing.assert_allclose(out_sh, out_ref, rtol=2e-4, atol=1e-5)
+    for k in sorted(g_ref):
+        np.testing.assert_allclose(
+            g_sh[k], g_ref[k], rtol=3e-4,
+            atol=1e-4 * max(1.0, float(np.abs(g_ref[k]).max())),
+            err_msg=f"dL/d{k}",
+        )
+
+    # The compiled sharded program must contain a real collective.
+    txt = (jax.jit(lambda p: loss_sh(p)[0]).lower(params).compile().as_text())
+    assert "all-reduce" in txt
+
+
+def test_sharded_dynamics_step_learns():
+    """One jitted model-sharded dynamics training step runs end-to-end on
+    the virtual mesh and reduces the loss (the aggregation subsystem's
+    sharded training step; dryrun_multichip runs the same composition)."""
+    import optax
+    from dgs_tpu.models import dynamics
+    from dgs_tpu.oracle.dense import radii as compute_radii
+    from conftest import make_gaussians
+
+    rng = np.random.default_rng(3)
+    means, values, covs, conics = make_gaussians(rng, 60, 2, 1,
+                                                 sigma_range=(0.08, 0.25))
+    m, v, cov, c = map(jnp.asarray, (means, values, covs, conics))
+    cfg = SamplerConfig(eig_floor=1e-12)
+    rad = compute_radii(cov, 2, cfg.radius_sigma, cfg.eig_floor)
+    mesh = pmesh.make_mesh((2, 4))
+    _, _, aggs = pmesh.build_sharded_aggregation(cfg, m, c, rad, 4,
+                                                 block_n=16)
+    params = dynamics.init_dynamics_params(
+        jax.random.PRNGKey(0), 60, 1, 2, ladder=True)
+    target = v * 0.9
+    opt = optax.adam(1e-2)
+    step = pmesh.make_sharded_dynamics_step(
+        mesh, opt, aggs, v, target, rollout=2, ladder_frequencies=True,
+        block_n=16)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(12):
+        params, opt_state, l = step(params, opt_state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses

@@ -7,7 +7,9 @@ PIGS-dynamics-like operating point.  Prints one JSON line per phase.
 
 Env: AGG_P, AGG_L (feature channels), AGG_K (query/key dim), AGG_NFREQ,
 AGG_STEPS, AGG_SIGMA, AGG_METHOD (xla | pallas), AGG_BN/AGG_BE (pallas
-blocks).
+blocks), AGG_LADDER=1 (integer-laddered frequencies + the angle-addition
+sincos recurrence in the kernels - the production parameterization,
+models/dynamics.py init).
 """
 
 import functools
@@ -43,12 +45,15 @@ def main():
         key = jax.random.PRNGKey(1)
         ks = jax.random.split(key, 6)
         E = nfreq * D * 2 + 1
+        ladder = os.environ.get("AGG_LADDER", "0") == "1"
         params = dict(
             features=jax.random.normal(ks[0], (P, L)) * 0.1,
             transform=jax.random.normal(ks[1], (L, L)) * 0.1,
             queries=jax.random.normal(ks[2], (P, K)) * 0.1,
             keys=jax.random.normal(ks[3], (P, K)) * 0.1,
-            frequencies=jnp.abs(jax.random.normal(ks[4], (nfreq,))) + 0.5,
+            frequencies=(jnp.arange(1, nfreq + 1, dtype=jnp.float32)
+                         if ladder else
+                         jnp.abs(jax.random.normal(ks[4], (nfreq,))) + 0.5),
             distance_transform=jax.random.normal(ks[5], (2 * E,)) * 0.1,
         )
         cov = field.covariances()
@@ -117,7 +122,8 @@ def main():
     jax.block_until_ready(nbr)
 
     agg_fn = (functools.partial(aggregation.aggregate_pallas,
-                                period=None, block_n=bn, block_e=be)
+                                period=None, block_n=bn, block_e=be,
+                                ladder_frequencies=ladder)
               if method == "pallas" else aggregation.aggregate)
 
     def loss(p, nbr):
@@ -163,6 +169,7 @@ def main():
         "unit": "gaussians/s",
         "step_s": round(dt_fb, 5),
         "P": P, "L": L, "K": K, "nfreq": nfreq, "method": method,
+        "ladder": ladder,
         "backend": jax.default_backend(),
     }))
 

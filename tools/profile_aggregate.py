@@ -40,7 +40,9 @@ def main():
             transform=jax.random.normal(ks[1], (L, L)) * 0.1,
             queries=jax.random.normal(ks[2], (P, K)) * 0.1,
             keys=jax.random.normal(ks[3], (P, K)) * 0.1,
-            frequencies=jnp.abs(jax.random.normal(ks[4], (nfreq,))) + 0.5,
+            frequencies=(jnp.arange(1, nfreq + 1, dtype=jnp.float32)
+                         if os.environ.get("AGG_LADDER", "0") == "1" else
+                         jnp.abs(jax.random.normal(ks[4], (nfreq,))) + 0.5),
             distance_transform=jax.random.normal(ks[5], (2 * E,)) * 0.1,
         )
         cov = field.covariances()
@@ -68,7 +70,8 @@ def main():
         out = aggregation.aggregate_pallas(
             p["features"], p["transform"], p["queries"], p["keys"],
             p["frequencies"], p["distance_transform"], agg,
-            period=None, block_n=bn, block_e=be)
+            period=None, block_n=bn, block_e=be,
+            ladder_frequencies=os.environ.get("AGG_LADDER", "0") == "1")
         return jnp.sum(out * out)
 
     STEPS = 5

@@ -75,12 +75,16 @@ def main():
         assert last["loss"] < history[0]["loss"] * 0.5, "no convergence"
 
     # ---- Phase B: dynamics net (aggregation) at 100k ----
+    # Production loop shape: batched rollout evaluation (one sampler call
+    # for every rollout depth), scan-chunked optimizer steps, shared-base
+    # frequency ladder (angle-addition sincos recurrence in the kernels).
     cfg_d = SamplerConfig(eig_floor=1e-12)
     t0 = time.perf_counter()
     params, dhist = dynamics.train(
         cfg_d, P=P, D=D, steps=d_steps, rollout=2, sigma=sigma * 3.0,
         n_eval=n_eval, method="pallas", eval_method="tiled",
-        log_every=max(d_steps // 6, 1),
+        log_every=max(d_steps // 6, 1), ladder_frequencies=True,
+        scan_chunk=int(os.environ.get("T100K_DCHUNK", 10)),
     )
     dt = time.perf_counter() - t0
     warm_d = min(h["t_step_s"] for h in dhist[1:]) if len(dhist) > 1 else (
@@ -94,9 +98,11 @@ def main():
         "loss_first": round(dhist[0]["loss"], 6),
         "loss_last": round(dhist[-1]["loss"], 6),
         "nbr_overflow": dhist[-1]["nbr_overflow"],
+        "eval_overflow": dhist[-1]["eval_overflow"],
         "backend": jax.default_backend(),
     }))
     assert dhist[-1]["nbr_overflow"] == 0
+    assert dhist[-1]["eval_overflow"] == 0
     assert dhist[-1]["loss"] < dhist[0]["loss"], "dynamics no improvement"
 
 
