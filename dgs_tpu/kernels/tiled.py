@@ -334,7 +334,8 @@ def _separable_G_a(geom_ref, mono_ref, D, C, flip):
     return power, a
 
 
-def _wl_forward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
+def _wl_forward_kernel(orders, period, D, C, separable, tile_local,
+                       n_prefetch, *refs):
     """Pair arrays are (BP entries, BN samples): entries ride the sublanes so
     the outputs land lane-major (K*C, BN) - a (N, K*C) layout would pad its
     24 columns to 128 lanes in HBM (5x physical traffic on every read and
@@ -369,6 +370,15 @@ def _wl_forward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
             G = jnp.where(power > PSD_TOL, 0.0,
                           jnp.exp(jnp.minimum(power, 0.0)))
             Xs = [None] * D
+        elif tile_local:
+            # The samples operand is the monomial matrix (moment-form
+            # backward prep): xl rides rows [1, 1+D) and geom means are
+            # tile-local, so X = mu_l - xl wrap-free on the VPU.
+            Xs = [
+                geom_ref[d, :][:, None] - samples_ref[1 + d, :][None, :]
+                for d in range(D)
+            ]
+            G, a = formulas.power_terms(Xs, con)
         else:
             Xs = [
                 formulas.wrap(
@@ -403,6 +413,7 @@ def tiled_forward(
     block_n: int = 256,
     block_e: int = 512,
     separable: bool = False,
+    tile_local: bool = False,
 ) -> jnp.ndarray:
     """Packed lane-major (K*C, Np) outputs in tile-sorted sample order.
 
@@ -415,8 +426,20 @@ def tiled_forward(
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
-    NPARAM = n_params(D, C) + (sep_rows(D) if separable else 0)
-    SROWS = mono_rows(D) if separable else D
+    if separable:
+        NPARAM = n_params(D, C) + sep_rows(D)
+        SROWS = mono_rows(D)
+    elif tile_local:
+        # Separable-extended operands, per-pair VPU math: read only the
+        # base parameter rows and the [1, xl] head of the monomial matrix.
+        def _pref(want, full):
+            blk = _round_up(want, 8)
+            return blk if blk < full else full
+        NPARAM = _pref(n_params(D, C), n_params(D, C) + sep_rows(D))
+        SROWS = _pref(1 + D, mono_rows(D))
+    else:
+        NPARAM = n_params(D, C)
+        SROWS = D
     tri = tri_size(D)
     cap = aux.shape[0]
     EB = Ep // block_e
@@ -455,7 +478,7 @@ def tiled_forward(
 
     return pl.pallas_call(
         functools.partial(_wl_forward_kernel, orders, period, D, C,
-                          separable, nsp),
+                          separable, tile_local, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
@@ -467,7 +490,8 @@ def tiled_forward(
 # ---------------------------------------------------------------------------
 
 
-def _wl_backward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
+def _wl_backward_kernel(orders, period, D, C, separable, moments,
+                        n_prefetch, *refs):
     aux_ref = refs[0]
     (geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
      ct_ref, ct_t_ref, dent_ref) = refs[n_prefetch:]
@@ -482,7 +506,7 @@ def _wl_backward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
     @pl.when((a_w & 1) != 0)
     def _compute():
         con = [geom_ref[D + t, :][None, :] for t in range(tri)]
-        if separable:
+        if separable or moments:
             # X from the monomial x_l rows and the tile-local mean rows
             # (X = mu_l - x_l == mu' - x for every same-tile pair).
             # power/a stay on the VPU here: the (BN, BP) orientation would
@@ -527,18 +551,166 @@ def _wl_backward_kernel(orders, period, D, C, separable, n_prefetch, *refs):
                              preferred_element_type=jnp.float32)
                 dvals = dv if dvals is None else dvals + dv
             k0 += nk
-        # Collapsed closed form across ALL fused orders - one shared VJP
-        # instead of per-component loops (formulas.vjp_params_fused).
-        dmu_acc, dcon_acc = formulas.vjp_params_fused(
-            orders, Xs, con, G, a, all_hs, lap_polys, third_polys
-        )
-
-        rows = (
-            [jnp.sum(m, axis=0, keepdims=True) for m in dmu_acc]
-            + [jnp.sum(ctn, axis=0, keepdims=True) for ctn in dcon_acc]
-            + [dvals]
-        )
+        if moments:
+            rows = _moment_rows(
+                orders, D, samples_ref, con, G, a, all_hs,
+                lap_polys, third_polys,
+            ) + [dvals]
+        else:
+            # Collapsed closed form across ALL fused orders - one shared VJP
+            # instead of per-component loops (formulas.vjp_params_fused).
+            dmu_acc, dcon_acc = formulas.vjp_params_fused(
+                orders, Xs, con, G, a, all_hs, lap_polys, third_polys
+            )
+            rows = (
+                [jnp.sum(m, axis=0, keepdims=True) for m in dmu_acc]
+                + [jnp.sum(ctn, axis=0, keepdims=True) for ctn in dcon_acc]
+                + [dvals]
+            )
         dent_ref[...] += jnp.concatenate(rows, axis=0)  # (NPARAM, BP)
+
+
+def moment_layout(orders, D: int):
+    """Static layout of the moment-form backward's output rows.
+
+    Returns (has_w, has_hl, has_y, n_rows): the kernel emits
+      [M_S0 (1+D+tri rows)] +
+      [M_W_l (1+D rows) per l]        (if any of deriv/laplacian/third) +
+      [M_hl_t (1 row) per t]          (if laplacian) +
+      [M_Y_t (1 row) per t]           (if third)
+    and moment_combine folds them with the per-entry geometry into the
+    (D + tri) parameter-gradient rows OUTSIDE the kernel - once per entry
+    instead of once per work item."""
+    tri = tri_size(D)
+    has_w = any(o in ("derivative", "laplacian", "third") for o in orders)
+    has_hl = "laplacian" in orders
+    has_y = "third" in orders
+    n = (1 + D + tri) + (D * (1 + D) if has_w else 0) \
+        + (tri if has_hl else 0) + (tri if has_y else 0)
+    return has_w, has_hl, has_y, n
+
+
+def _moment_rows(orders, D, mono_ref, con, G, a, hs, lap_polys, third_polys):
+    """In-kernel half of the moment-form backward: per-pair weights
+    GS0 = G S0, GW_l = G W_l, G hl_t, G Y_t (formulas.fused_pair_accumulators
+    - functions of (con, a, h) only), contracted against the sample monomial
+    basis on the MXU.  Everything per-ENTRY (the polynomial combination into
+    dmu/dcon) happens outside in moment_combine: (1, BP)-row arithmetic in
+    the kernel costs a full vreg op per work item and measured +2 ms/step at
+    the D=2 operating point."""
+    tri = tri_size(D)
+    has_w, has_hl, has_y, _ = moment_layout(orders, D)
+
+    S0, w, hl, Y = formulas.fused_pair_accumulators(
+        orders, con, a, hs, lap_polys, third_polys)
+
+    MP = 1 + D
+
+    def mom(V, rows):
+        # (rows, BN) @ (BN, BP) with fp32 accumulate.
+        return jnp.dot(mono_ref[0:rows, :], V,
+                       preferred_element_type=jnp.float32)
+
+    def zrow(n, like):
+        return jnp.zeros((n, like.shape[1]), jnp.float32)
+
+    rows = [mom(G * S0, MP + tri)]
+    if has_w:
+        for l in range(D):
+            rows.append(zrow(MP, G) if w[l] is None else mom(G * w[l], MP))
+    if has_hl:
+        for t in range(tri):
+            rows.append(zrow(1, G) if hl[t] is None
+                        else mom(G * hl[t], 1))
+    if has_y:
+        for t in range(tri):
+            rows.append(zrow(1, G) if Y[t] is None else mom(G * Y[t], 1))
+    return rows
+
+
+def moment_combine(orders, D: int, C: int, dent, geom):
+    """Outside half of the moment-form backward: fold the kernel's moment
+    rows (dent[:n_rows]) with the per-entry tile-local geometry into the
+    packed (D + tri + C, Ep) parameter-gradient rows.
+
+    Derivation (see _moment_rows and formulas.vjp_params_fused):
+      dmu_d  = sum_l C(d,l) (Wsum_l + Sx_l) - b_d S1
+      dcon_t = expanded moments of G (X_v z_u + X_u z_v) - M[G hl_t]
+               + M[G Y_t]
+    with X_l = mu_l - xl_l, z = W - X/2 S0, S* = moments of G S0, and the
+    monomial q rows unweighted (-2 diag / -1 offdiag) to raw second moments.
+    One fused elementwise pass over Ep - negligible next to the kernel.
+    """
+    from ..config import tri_index
+
+    tri = tri_size(D)
+    has_w, has_hl, has_y, n_rows = moment_layout(orders, D)
+    MP = 1 + D
+    mu = [geom[d] for d in range(D)]                   # tile-local (Ep,)
+    Cc = lambda i, j: geom[D + tri_index(D, i, j)]
+
+    r = 0
+    M_S0 = dent[r:r + MP + tri]
+    r += MP + tri
+    S1 = M_S0[0]
+    Sx = [M_S0[1 + d] for d in range(D)]
+    Sq = [None] * tri
+    for u in range(D):
+        for v in range(u, D):
+            t = tri_index(D, u, v)
+            Sq[t] = (-2.0 if u == v else -1.0) * M_S0[MP + t]
+    Wsum = [None] * D
+    Wx = [[None] * D for _ in range(D)]
+    if has_w:
+        for l in range(D):
+            Wsum[l] = dent[r]
+            for d in range(D):
+                Wx[l][d] = dent[r + 1 + d]
+            r += MP
+    Mhl = [None] * tri
+    if has_hl:
+        for t in range(tri):
+            Mhl[t] = dent[r]
+            r += 1
+    MY = [None] * tri
+    if has_y:
+        for t in range(tri):
+            MY[t] = dent[r]
+            r += 1
+    dvals = dent[n_rows:]
+
+    dmu = []
+    for d in range(D):
+        md = 0.0
+        b_d = 0.0
+        for l in range(D):
+            term = Sx[l] if Wsum[l] is None else Wsum[l] + Sx[l]
+            md = md + Cc(d, l) * term
+            b_d = b_d + Cc(d, l) * mu[l]
+        dmu.append(md - b_d * S1)
+
+    dcon = []
+    for u in range(D):
+        for v in range(u, D):
+            t = tri_index(D, u, v)
+            if u == v:
+                term = -0.5 * (mu[u] * mu[u] * S1 + Sq[t]) + mu[u] * Sx[u]
+                if Wsum[u] is not None:
+                    term = term + mu[u] * Wsum[u] - Wx[u][u]
+            else:
+                term = (mu[v] * Sx[u] + mu[u] * Sx[v]
+                        - mu[u] * mu[v] * S1 - Sq[t])
+                if Wsum[u] is not None:
+                    term = term + mu[v] * Wsum[u] - Wx[u][v]
+                if Wsum[v] is not None:
+                    term = term + mu[u] * Wsum[v] - Wx[v][u]
+            if Mhl[t] is not None:
+                term = term - Mhl[t]
+            if MY[t] is not None:
+                term = term + MY[t]
+            dcon.append(term)
+    return jnp.concatenate(
+        [jnp.stack(dmu + dcon, axis=0), dvals], axis=0)
 
 
 def tiled_backward(
@@ -553,6 +725,7 @@ def tiled_backward(
     block_n: int = 128,
     block_e: int = 256,
     separable: bool = False,
+    moments: bool = False,
 ) -> jnp.ndarray:
     """Packed per-entry gradients (D+tri+C, Ep): means rows, conic rows,
     value rows.  The caller segment-sums by gaussian id (deterministic
@@ -563,6 +736,9 @@ def tiled_backward(
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
+    # Moment mode widens the output to the raw moment rows + dvals; the
+    # caller folds them per entry via moment_combine.
+    NOUT = (moment_layout(orders, D)[3] + C) if moments else NPARAM
     # The backward only reads the base parameter rows of the separable-
     # extended geom and the [1, x_l] head of the monomial matrix; a block
     # row-prefix smaller than the operand saves the unused rows' HBM reads.
@@ -572,8 +748,12 @@ def tiled_backward(
         blk = _round_up(want, 8)
         return blk if blk < full else full
 
-    GROWS = _prefix(NPARAM, NPARAM + sep_rows(D)) if separable else NPARAM
-    SROWS = _prefix(1 + D, mono_rows(D)) if separable else D
+    sep_prep = separable or moments
+    GROWS = _prefix(NPARAM, NPARAM + sep_rows(D)) if sep_prep else NPARAM
+    # The moment path contracts against the FULL monomial basis (incl. the
+    # quadratic rows); the plain separable path reads only [1, xl].
+    SROWS = (mono_rows(D) if moments
+             else _prefix(1 + D, mono_rows(D)) if sep_prep else D)
     tri = tri_size(D)
     cap = aux.shape[0]
     NB = Np // block_n
@@ -618,13 +798,13 @@ def tiled_backward(
             pl.BlockSpec((block_n, K * C), col_map_r),
             pl.BlockSpec((K * C, block_n), col_map0),
         ],
-        out_specs=pl.BlockSpec((NPARAM, block_e), row_map),
+        out_specs=pl.BlockSpec((NOUT, block_e), row_map),
     )
 
     return pl.pallas_call(
         functools.partial(_wl_backward_kernel, orders, period, D, C,
-                          separable, nsp),
+                          separable, moments, nsp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NPARAM, Ep), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NOUT, Ep), jnp.float32),
         interpret=_interpret(),
     )(*operands, geom, ent_tile, s_sorted, s_tile, ct, ct_t)

@@ -325,38 +325,21 @@ def _a_dcon(Xs: Sequence, D: int):
 FUSABLE_ORDERS = ("value", "derivative", "laplacian", "third")
 
 
-def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
-                     G, a, hs: Sequence,
-                     lap_polys: Optional[Sequence] = None,
-                     third_polys: Optional[Sequence] = None):
-    """Collapsed multi-order VJP across any subset of the four orders.
+def fused_pair_accumulators(orders: Sequence[str], con: Sequence, a,
+                            hs: Sequence,
+                            lap_polys: Optional[Sequence] = None,
+                            third_polys: Optional[Sequence] = None):
+    """The collapsed multi-order VJP's shared per-pair accumulators.
 
-    ``hs`` is the flat list of FOLDED unique-component cotangents across
-    ``orders`` in sequence (same layout the tiled backward kernel holds).
+    Returns (S0, w, hl, Y) - see vjp_params_fused's derivation: S0 is the
+    h-weighted component-polynomial sum, w[l] the h-weighted dq/da_l sums,
+    hl the folded laplacian cotangents (by packed index, None where absent),
+    Y the thirds' explicit conic-derivative terms.  Everything is a function
+    of (con, a, hs) only - no X - which is what lets the moment-form
+    backward (kernels/tiled.py) turn the per-entry reductions into MXU
+    contractions against the sample monomial basis."""
+    D = len(a)
 
-    Derivation: every component is a spatial derivative of G
-    (T_u = G q_u with q_0 = 1, q_i = a_i, q_ij = a_i a_j - C_ij,
-    q_ijk = a_i a_j a_k - C_ij a_k - C_ik a_j - C_jk a_i; the reference's
-    "third" component is -q_ijk, forward.cu:247), dT_u/dmu_d = -T_{u,d}, and
-    q_{u,d} = a_d q_u - sum_l C_ld dq_u/da_l, so the weighted cotangent sum
-    telescopes into shared accumulators:
-
-        S0    = sum_u h~_u q_u          (h~ = h, except third: h~ = -h)
-        W_l   = sum_u h~_u dq_u/da_l
-        dmu_d = G ((C W)_d - a_d S0)
-        z_l   = W_l - 1/2 X_l S0
-        dcon_(u,v) = G (X_v z_u + X_u z_v - hl_uv + Y_uv)
-
-    where Y collects the thirds' explicit conic derivatives
-    (Y_t = sum_{(ijk)} h_ijk (delta_(ij),t a_k + delta_(ik),t a_j
-    + delta_(jk),t a_i)).  This reproduces backward.cu:108-416 exactly (see
-    vjp_params) with ~3x fewer per-pair elementwise ops - the per-pair loop
-    is the whole backward hot loop (SURVEY.md 3.3).
-
-    ``lap_polys``/``third_polys`` (component_polys products) may be passed to
-    share the polynomial terms with the caller's forward-weight recompute.
-    """
-    D = len(Xs)
     tri = tri_size(D)
     C = lambda i, j: con[tri_index(D, i, j)]
 
@@ -439,6 +422,58 @@ def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
         w[j] = acc(w[j], nh * q_pair(i, k))
         w[k] = acc(w[k], nh * q_pair(i, j))
 
+    # Y_t: the thirds' explicit conic derivatives (+a at matching pairs,
+    # backward.cu:300-416's "dp += a" terms).
+    Y = [None] * tri
+    for (i, j, k), h in h3.items():
+        Y[tri_index(D, i, j)] = acc(Y[tri_index(D, i, j)], h * a[k])
+        Y[tri_index(D, i, k)] = acc(Y[tri_index(D, i, k)], h * a[j])
+        Y[tri_index(D, j, k)] = acc(Y[tri_index(D, j, k)], h * a[i])
+
+    return S0, w, hl, Y
+
+
+def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
+                     G, a, hs: Sequence,
+                     lap_polys: Optional[Sequence] = None,
+                     third_polys: Optional[Sequence] = None):
+    """Collapsed multi-order VJP across any subset of the four orders.
+
+    ``hs`` is the flat list of FOLDED unique-component cotangents across
+    ``orders`` in sequence (same layout the tiled backward kernel holds).
+
+    Derivation: every component is a spatial derivative of G
+    (T_u = G q_u with q_0 = 1, q_i = a_i, q_ij = a_i a_j - C_ij,
+    q_ijk = a_i a_j a_k - C_ij a_k - C_ik a_j - C_jk a_i; the reference's
+    "third" component is -q_ijk, forward.cu:247), dT_u/dmu_d = -T_{u,d}, and
+    q_{u,d} = a_d q_u - sum_l C_ld dq_u/da_l, so the weighted cotangent sum
+    telescopes into shared accumulators:
+
+        S0    = sum_u h~_u q_u          (h~ = h, except third: h~ = -h)
+        W_l   = sum_u h~_u dq_u/da_l
+        dmu_d = G ((C W)_d - a_d S0)
+        z_l   = W_l - 1/2 X_l S0
+        dcon_(u,v) = G (X_v z_u + X_u z_v - hl_uv + Y_uv)
+
+    where Y collects the thirds' explicit conic derivatives
+    (Y_t = sum_{(ijk)} h_ijk (delta_(ij),t a_k + delta_(ik),t a_j
+    + delta_(jk),t a_i)).  This reproduces backward.cu:108-416 exactly (see
+    vjp_params) with ~3x fewer per-pair elementwise ops - the per-pair loop
+    is the whole backward hot loop (SURVEY.md 3.3).
+
+    ``lap_polys``/``third_polys`` (component_polys products) may be passed to
+    share the polynomial terms with the caller's forward-weight recompute.
+    """
+    D = len(Xs)
+    tri = tri_size(D)
+    C = lambda i, j: con[tri_index(D, i, j)]
+
+    def acc(x, y):
+        return y if x is None else x + y
+
+    S0, w, hl, Y = fused_pair_accumulators(
+        orders, con, a, hs, lap_polys, third_polys)
+
     half_S0 = 0.5 * S0
 
     dmu = []
@@ -449,14 +484,6 @@ def vjp_params_fused(orders: Sequence[str], Xs: Sequence, con: Sequence,
                 md = acc(md, C(d, l) * w[l])
         md = acc(md, -(a[d] * S0))
         dmu.append(G * md)
-
-    # Y_t: the thirds' explicit conic derivatives (+a at matching pairs,
-    # backward.cu:300-416's "dp += a" terms).
-    Y = [None] * tri
-    for (i, j, k), h in h3.items():
-        Y[tri_index(D, i, j)] = acc(Y[tri_index(D, i, j)], h * a[k])
-        Y[tri_index(D, i, k)] = acc(Y[tri_index(D, i, k)], h * a[j])
-        Y[tri_index(D, j, k)] = acc(Y[tri_index(D, j, k)], h * a[i])
 
     z = [
         (-(Xs[l] * half_S0)) if w[l] is None else (w[l] - Xs[l] * half_S0)

@@ -193,7 +193,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
                        unique_outputs: bool = False,
                        padded_outputs: bool = False,
                        unwrapped: bool = False,
-                       separable: Optional[bool] = None):
+                       separable: Optional[bool] = None,
+                       moments: Optional[bool] = None):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
@@ -236,6 +237,15 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         separable = kernel_period is None and D >= 3
     else:
         separable = separable and kernel_period is None
+    # Moment-form backward (kernels/tiled._moment_param_rows): per-entry
+    # parameter gradients as MXU contractions against the sample monomial
+    # basis instead of per-pair VJP chains + sublane tree-reductions.
+    # Requires tile-local (wrap-free) coordinates; on by default there.
+    if moments is None:
+        moments = kernel_period is None
+    else:
+        moments = moments and kernel_period is None
+    prep_sep = separable or moments
 
     # Shared preparation: entry/sample padding aligned to both kernels' block
     # sizes so one gather serves forward and backward; sample sorting (and
@@ -244,8 +254,9 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     align_e = max(block_e, bwd_block_e)
     align_n = max(block_n, bwd_block_n)
     s_sorted, s_tile, Np, mono = ktiled.prepare_samples(
-        state, samples, align_n, cfg=cfg, separable=separable)
-    smp = (mono if separable else s_sorted, s_tile, Np)
+        state, samples, align_n, cfg=cfg, separable=prep_sep)
+    smp = (mono if prep_sep else s_sorted, s_tile, Np)
+    fwd_tile_local = prep_sep and not separable
     Ep = _round_up(state.num_entries, align_e)
 
     NB_f, EB_f = Np // block_n, Ep // block_e
@@ -285,16 +296,17 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     @jax.custom_vjp
     def f(m, v, c):
         ent = ktiled.prepare_entries(state, m, v, c, align_e, cfg=cfg,
-                                     separable=separable)
+                                     separable=prep_sep)
         return ktiled.tiled_forward(
             orders, kernel_period, D, C, wl_f[:4], ent, smp,
             block_n=block_n, block_e=block_e, separable=separable,
+            tile_local=fwd_tile_local,
         )                     # (K*C, Np); columns >= N are zero
 
     def f_fwd(m, v, c):
         return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e,
                                                   cfg=cfg,
-                                                  separable=separable)
+                                                  separable=prep_sep)
 
     def f_bwd(ent, g):
         # g arrives lane-major (K*C, Np); the backward's h matmuls also want
@@ -303,7 +315,12 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         dent = ktiled.tiled_backward(
             orders, kernel_period, D, C, wl_b[:4], ent, smp, g.T, g,
             block_n=bwd_block_n, block_e=bwd_block_e, separable=separable,
+            moments=moments,
         )
+        if moments:
+            # Fold the raw moment rows with the per-entry geometry - once
+            # per entry, outside the kernel (kernels/tiled.moment_combine).
+            dent = ktiled.moment_combine(orders, D, C, dent, ent[2])
         # Deterministic segment-sum of entry gradients by gaussian id
         # (replaces backward.cu's atomicAdd scatter).  TPU row scatters and
         # row gathers both run ~12-14 ns/row, so the (Ep,) scatter-add beats

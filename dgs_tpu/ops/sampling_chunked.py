@@ -83,11 +83,23 @@ def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
     from ..binning import grid as binning
     from ..oracle.dense import radii as compute_radii
 
+    import dataclasses
+
     P, D = means.shape
     cfg = cfg.with_dims(D)
     bn = block_n or cfg.block_n
     be = block_e or cfg.block_p
     rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    # Compact-support certificate for the wrap-free kernels (identical to
+    # utils.native.plan_capacities): with every footprint satisfying
+    # max_radius + tile < period/2, per-entry period-shifted means make the
+    # raw offset the minimum-image displacement for every paired sample,
+    # unlocking the separable MXU forward (D>=3) and the moment-form
+    # backward for the chunk-packed path.
+    if cfg.period is not None and not cfg.unwrapped_kernels:
+        rmax = float(jax.device_get(jnp.max(rad)))
+        if rmax + cfg.tile_size < cfg.period / 2.0:
+            cfg = dataclasses.replace(cfg, unwrapped_kernels=True)
     lo, hi = binning.gaussian_rects(cfg, means, rad)
     R = max(int(jax.device_get(jnp.max(hi - lo))), 1)
     ent = binning.duplicate_entries(cfg, means, rad, R, P * R ** D)
@@ -137,14 +149,14 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     )[:N]
     from ..kernels import tiled as ktiled
 
-    # The monomial matrix feeds only the separable kernels; gate on the same
-    # predicate sample_chunked_multi uses so the common D=2 wrapped case
-    # doesn't compute and store it.
-    separable = (cfg.unwrapped_kernels or cfg.period is None) and D >= 3
+    # The monomial matrix feeds the separable/moment kernels (any wrap-free
+    # config - the same predicate sample_chunked_multi uses); the wrapped
+    # case doesn't compute or store it.
+    prep_sep = cfg.unwrapped_kernels or cfg.period is None
     return ChunkedSamples(
         s_coords=coords, s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
         mono=(ktiled.sample_monomials(cfg, coords, s_tile, D)
-              if separable else None),
+              if prep_sep else None),
         overflow=s_of,
     )
 
@@ -204,6 +216,10 @@ def sample_chunked_multi(
     # pair math (see ops/sampling.sample_tiled_multi).
     kernel_period = None if cfg.unwrapped_kernels else cfg.period
     separable = kernel_period is None and D >= 3
+    # Moment-form backward wherever the coordinates are tile-local
+    # (see ops/sampling.sample_tiled_multi).
+    moments = kernel_period is None
+    prep_sep = separable or moments
 
     def _prepare(m, v, c):
         params = jnp.concatenate([m, c, v], axis=1)      # (P, NPARAM)
@@ -221,11 +237,12 @@ def sample_chunked_multi(
             npar = D + tri + C
             k = binning.image_shift(cfg, tile_pad, ent[:, npar:])
             ent = ent[:, :npar].at[:, :D].add(-cfg.period * k.astype(ent.dtype))
-        if separable:
+        if prep_sep:
             ent = ktiled.separable_extend(cfg, ent, tile_pad, D)
         return gid_pad, tile_pad, ent.T, Ep
 
-    smp = (cs.mono if separable else cs.s_coords, cs.s_tile, Nsp)
+    smp = (cs.mono if prep_sep else cs.s_coords, cs.s_tile, Nsp)
+    fwd_tile_local = prep_sep and not separable
 
     @jax.custom_vjp
     def f(m, v, c):
@@ -233,6 +250,7 @@ def sample_chunked_multi(
         return ktiled.tiled_forward(
             orders, kernel_period, D, C, wl_f, ent, smp,
             block_n=block_n, block_e=block_e, separable=separable,
+            tile_local=fwd_tile_local,
         )                     # (K*C, Nsp); pad columns are zero
 
     def f_fwd(m, v, c):
@@ -242,7 +260,10 @@ def sample_chunked_multi(
         dent = ktiled.tiled_backward(
             orders, kernel_period, D, C, wl_b, ent, smp, g.T, g,
             block_n=block_n, block_e=block_e, separable=separable,
+            moments=moments,
         )
+        if moments:
+            dent = ktiled.moment_combine(orders, D, C, dent, ent[2])
         d = jax.ops.segment_sum(dent.T, ent[0], num_segments=P + 1)[:P]
         return d[:, :D], d[:, D + tri:], d[:, D:D + tri]
 

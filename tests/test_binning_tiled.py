@@ -380,3 +380,35 @@ def test_anisotropic_open_box_binned_matches_oracle(rng):
         np.testing.assert_allclose(
             a, b, rtol=2e-3, atol=1e-4 * max(1.0, float(np.abs(b).max()))
         )
+
+
+@pytest.mark.parametrize("D", [1, 2, 3])
+def test_moment_backward_matches_pairwise_backward(rng, D):
+    """The moment-form backward (per-entry gradients as MXU contractions
+    against the sample monomial basis, kernels/tiled._moment_param_rows)
+    must reproduce the per-pair VJP-chain backward exactly - all four
+    orders, all three gradients, wrap-free tile-local coordinates."""
+    cfg = SamplerConfig(max_tiles_per_gaussian=4, tile_size=0.51,
+                        eig_floor=1e-12).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 37, 53, D, sigma_range=(0.02, 0.05))
+    state, fg, bg, fw, bw = _build(cfg, m, cov, s)
+
+    def loss(moments, m_, v_, c_):
+        outs = sampling.sample_tiled_multi(
+            ORDERS, cfg, m_, v_, c_, s, state, fg, bg, fw, bw,
+            block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+            unwrapped=True, separable=False, moments=moments,
+        )
+        return sum(jnp.sum(o * o) / (1.0 + jnp.sum(o * o)) * 100.0
+                   for o in outs)
+
+    (l_p, g_p) = jax.value_and_grad(
+        lambda *a: loss(False, *a), argnums=(0, 1, 2))(m, v, c)
+    (l_m, g_m) = jax.value_and_grad(
+        lambda *a: loss(True, *a), argnums=(0, 1, 2))(m, v, c)
+    np.testing.assert_allclose(l_m, l_p, rtol=1e-5)
+    for a, b, name in zip(g_m, g_p, ("means", "values", "conics")):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=2e-4 * max(1.0, float(np.abs(b).max())),
+            err_msg=name,
+        )
