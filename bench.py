@@ -88,6 +88,10 @@ def main():
         # win there (on-chip sweep, tools/sweep_blocks.py SWEEP_D=3).
         block_p_bwd=int(os.environ.get(
             "BENCH_BBP", 256 if D == 3 else blocks.bwd_blocks[1])),
+        # BENCH_MOMENTS=0/1 forces the moment-form backward off/on; unset
+        # keeps the per-D auto default (ops/sampling.sample_tiled_multi).
+        moment_backward=(None if "BENCH_MOMENTS" not in os.environ
+                         else os.environ["BENCH_MOMENTS"] == "1"),
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked

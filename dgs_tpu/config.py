@@ -78,6 +78,11 @@ class SamplerConfig:
     # this - utils.native.plan_capacities["safe_unwrapped"]).  The binning
     # always carries the image shifts; this flag only switches the kernels.
     unwrapped_kernels: bool = False
+    # Moment-form backward (kernels/tiled.moment_combine): per-entry
+    # parameter gradients as MXU contractions against the sample monomial
+    # basis.  None = per-D auto inside the sampling ops (requires wrap-free
+    # pair math either way); True/False force it where legal.
+    moment_backward: Optional[bool] = None
 
     # Pallas block sizes (tunable; defaults from the on-chip sweep at the
     # 100k-Gaussian / 1M-sample operating point, tools/sweep_blocks.py).

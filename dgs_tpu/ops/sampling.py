@@ -237,12 +237,16 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         separable = kernel_period is None and D >= 3
     else:
         separable = separable and kernel_period is None
-    # Moment-form backward (kernels/tiled._moment_param_rows): per-entry
+    # Moment-form backward (kernels/tiled.moment_combine): per-entry
     # parameter gradients as MXU contractions against the sample monomial
     # basis instead of per-pair VJP chains + sublane tree-reductions.
-    # Requires tile-local (wrap-free) coordinates; on by default there.
+    # Requires tile-local (wrap-free) coordinates.  On-chip A/B at the 100k
+    # x 1M operating point (round 3): D=3 chunked 192.5 -> 179.8 ms/step,
+    # but D=2 tiled REGRESSES 33.3 -> 36.4 ms (the D=2 per-pair VJP tail is
+    # too short to pay for the doubled output rows + weight multiplies), so
+    # the auto default enables it for D >= 3 only.
     if moments is None:
-        moments = kernel_period is None
+        moments = kernel_period is None and D >= 3
     else:
         moments = moments and kernel_period is None
     prep_sep = separable or moments
@@ -418,6 +422,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
         sorted_outputs=sorted_outputs, unique_outputs=unique_outputs,
         padded_outputs=padded_outputs, unwrapped=cfg.unwrapped_kernels,
+        moments=cfg.moment_backward,
     )
     diag = {
         # With sorted_outputs, output row r corresponds to samples[perm[r]].

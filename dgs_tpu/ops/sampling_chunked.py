@@ -216,9 +216,12 @@ def sample_chunked_multi(
     # pair math (see ops/sampling.sample_tiled_multi).
     kernel_period = None if cfg.unwrapped_kernels else cfg.period
     separable = kernel_period is None and D >= 3
-    # Moment-form backward wherever the coordinates are tile-local
-    # (see ops/sampling.sample_tiled_multi).
-    moments = kernel_period is None
+    # Moment-form backward where the coordinates are tile-local, D >= 3
+    # auto default (see ops/sampling.sample_tiled_multi's A/B note);
+    # cfg.moment_backward overrides.
+    moments = (kernel_period is None and D >= 3
+               if cfg.moment_backward is None
+               else cfg.moment_backward and kernel_period is None)
     prep_sep = separable or moments
 
     def _prepare(m, v, c):

@@ -51,6 +51,8 @@ def main():
         block_n_bwd=int(os.environ.get("BENCH_BBN", blocks.bwd_blocks[0])),
         block_p_bwd=int(os.environ.get(
             "BENCH_BBP", 256 if D == 3 else blocks.bwd_blocks[1])),
+        moment_backward=(None if "BENCH_MOMENTS" not in os.environ
+                         else os.environ["BENCH_MOMENTS"] == "1"),
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked

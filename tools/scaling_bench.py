@@ -14,7 +14,11 @@ CPU mesh:
         python tools/scaling_bench.py
 
 Env: SCALE_P (gaussians/device), SCALE_N (samples/device), SCALE_STEPS,
-SCALE_MODE (replicated|model), SCALE_DEVICES (comma list of device counts).
+SCALE_MODE (replicated|model), SCALE_DEVICES (comma list of device counts),
+SCALE_STRONG=1 (strong scaling: SCALE_P/SCALE_N are TOTALS held fixed
+across device counts - on the virtual mesh this separates sharded-step
+overhead from CPU-silicon saturation, since total FLOPs no longer grow
+with the device count).
 Prints one JSON line per device count.
 """
 
@@ -42,16 +46,25 @@ from dgs_tpu.models.field import init_field
 from dgs_tpu.parallel import mesh as pmesh
 
 
-def run_one(n_dev: int, P_per: int, N_per: int, steps: int, mode: str):
+def run_one(n_dev: int, P_per: int, N_per: int, steps: int, mode: str,
+            strong: bool):
     devices = jax.devices()[:n_dev]
     n_model = 2 if (mode == "model" and n_dev % 2 == 0) else 1
     mesh = pmesh.make_mesh((n_dev // n_model, n_model), devices=devices)
     cfg = SamplerConfig(work_blocks_fwd=16, work_blocks_bwd=32)
     u_star, f_rhs = pigs.manufactured_solution(2)
-    P = P_per * (n_model if mode == "model" else 1)
+    if strong:
+        # Fixed TOTAL workload: P_per/N_per are totals; each device holds a
+        # 1/n slice.  Ideal strong scaling keeps samples/s flat per device
+        # count times n; on the virtual mesh total FLOPs stay constant, so
+        # any efficiency loss is sharded-step overhead, not silicon.
+        P = P_per
+        N = N_per
+    else:
+        P = P_per * (n_model if mode == "model" else 1)
+        N = N_per * n_dev
     field = init_field(jax.random.PRNGKey(0), P, 2, 1, sigma=2.0 / P**0.5)
     opt = optax.adam(1e-3)
-    N = N_per * n_dev
 
     if mode == "model":
         step, shard_field = pmesh.make_model_sharded_pigs_step(
@@ -89,6 +102,7 @@ def main():
     N_per = int(os.environ.get("SCALE_N", 100_000))
     steps = int(os.environ.get("SCALE_STEPS", 5))
     mode = os.environ.get("SCALE_MODE", "replicated")
+    strong = os.environ.get("SCALE_STRONG", "") not in ("", "0")
     counts = [
         int(x)
         for x in os.environ.get("SCALE_DEVICES", "").split(",")
@@ -99,12 +113,16 @@ def main():
     for n in counts:
         if n > len(jax.devices()):
             continue
-        sps, dt = run_one(n, P_per, N_per, steps, mode)
+        sps, dt = run_one(n, P_per, N_per, steps, mode, strong)
         if base is None:
             base = sps
+        # Weak scaling: ideal = base throughput x n (per-device work fixed).
+        # Strong scaling: ideal = base throughput x n too (total work fixed,
+        # step time should drop 1/n), so the same ratio applies.
         eff = sps / (base * n)
         print(json.dumps({
-            "metric": "weak_scaling_samples_per_sec",
+            "metric": ("strong" if strong else "weak")
+                      + "_scaling_samples_per_sec",
             "devices": n,
             "mode": mode,
             "value": round(sps, 1),
