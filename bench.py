@@ -92,6 +92,10 @@ def main():
         # keeps the per-D auto default (ops/sampling.sample_tiled_multi).
         moment_backward=(None if "BENCH_MOMENTS" not in os.environ
                          else os.environ["BENCH_MOMENTS"] == "1"),
+        # Multi-block work items (kernels/tiled.work_list span): amortize
+        # the fixed per-grid-step cost over span column sub-blocks.
+        work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 1)),
+        work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 1)),
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked

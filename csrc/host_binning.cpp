@@ -86,7 +86,13 @@ int dgs_plan_capacities(
   int64_t grid[3] = {1, 1, 1};
   int64_t T = 1;
   for (int d = 0; d < D; ++d) {
-    grid[d] = (int64_t)std::ceil((extent[d] + 1e-6) / tile_size);
+    // Periodic: SamplerConfig snaps tile_size to period/grid
+    // (config.py __post_init__), so the division is integral up to float
+    // rounding - round, don't ceil (mirrors grid_shape()).
+    grid[d] = periodic
+                  ? std::max((int64_t)1, (int64_t)std::llround(
+                                             extent[d] / tile_size))
+                  : (int64_t)std::ceil((extent[d] + 1e-6) / tile_size);
     T *= grid[d];
   }
   const int tri = D * (D + 1) / 2;

@@ -47,9 +47,28 @@ def sample_gaussians_third_derivative(means, values, conics, samples, **kw):
     return sample("third", means, values, conics, samples, **kw)
 
 
-def preprocess_aggregate(cfg, means, conics, radii, **kw):
-    """Neighbor table (reference preprocess_aggregate, ext.cpp:29)."""
-    return aggregation.preprocess_grid(cfg, means, conics, radii, **kw)
+def preprocess_aggregate(cfg, means, conics, radii, method: str = "grid",
+                         **kw):
+    """Neighbor structure build (reference preprocess_aggregate, ext.cpp:29
+    / aggregate_neighbors.cu:323-367), mirroring the facade's ``method``
+    dispatch at the functional surface:
+
+      * ``"pallas"`` - the production chunk-packed structure
+        (``aggregation.AggBinning``) driving the fused Pallas pair-sweep
+        kernels; capacities planned from the collision radii.
+      * ``"grid"`` - world-grid cell-list neighbor table (``Neighbors``).
+      * ``"dense"`` - the reference-shaped O(P^2) scan (``Neighbors``).
+
+    Either return value feeds ``aggregate_neighbors`` below."""
+    if method == "pallas":
+        cfg, plan = aggregation.plan_pallas(cfg, means, radii)
+        return aggregation.preprocess_pallas(
+            cfg, means, conics, radii, plan, **kw)
+    if method == "grid":
+        return aggregation.preprocess_grid(cfg, means, conics, radii, **kw)
+    if method == "dense":
+        return aggregation.preprocess(cfg, means, conics, radii, **kw)
+    raise ValueError(f"unknown preprocess_aggregate method: {method!r}")
 
 
 def aggregate_neighbors(features, transform, queries, keys, frequencies,

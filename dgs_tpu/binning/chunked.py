@@ -79,27 +79,30 @@ def chunk_layout(starts: jnp.ndarray, block: int, cap_chunks: int):
             base, m.astype(jnp.int32), overflow)
 
 
-def work_total(m_row: jnp.ndarray, m_col: jnp.ndarray) -> jnp.ndarray:
+def work_total(m_row: jnp.ndarray, m_col: jnp.ndarray,
+               span: int = 1) -> jnp.ndarray:
     """Work items for a row-major same-tile chunk sweep: every row chunk
     emits at least one item (zero-init), real items are the per-tile
-    (row-chunk x col-chunk) cross products."""
-    return jnp.sum(m_row * jnp.maximum(m_col, 1))
+    (row-chunk x ceil(col-chunks / span)) cross products."""
+    return jnp.sum(m_row * jnp.maximum(-(-m_col // span), 1))
 
 
-def work_list(m_row, m_col, row_base, col_base, cap: int, colmax: int):
+def work_list(m_row, m_col, row_base, col_base, cap: int, colmax: int,
+              span: int = 1):
     """Same-tile chunk work list, ordered row-chunk-major.
 
-    For each tile: m_row[t] x max(m_col[t], 1) items, grouped by row chunk
-    (so the kernel's output block accumulates across consecutive grid steps)
-    with the tile's col chunks enumerated inside.  Encoding matches
-    kernels/tiled.work_list: aux = row_chunk * 4 + first * 2 + compute,
-    col = col chunk index.
+    For each tile: m_row[t] x max(ceil(m_col[t]/span), 1) items, grouped by
+    row chunk (so the kernel's output block accumulates across consecutive
+    grid steps) with the tile's col chunks enumerated inside.  Encoding
+    matches kernels/tiled.work_list: aux = row_chunk * 4 + first * 2 +
+    compute, col = FIRST col chunk of the item's span consecutive
+    sub-blocks, lcnt = live sub-blocks.
 
-    Returns (aux (cap,), col (cap,), overflow ()).
+    Returns (aux (cap,), col (cap,), lcnt (cap,), overflow ()).
     """
     T = m_row.shape[0]
-    mc_eff = jnp.maximum(m_col, 1)
-    it = m_row * mc_eff
+    mi = jnp.maximum(-(-m_col // span), 1)   # items per row chunk
+    it = m_row * mi
     istart = (jnp.cumsum(it) - it).astype(jnp.int32)
     total = istart[-1] + it[-1]
     overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
@@ -110,16 +113,44 @@ def work_list(m_row, m_col, row_base, col_base, cap: int, colmax: int):
     )
     t = jnp.clip(t, 0, T - 1)
     o = w - istart[t]
-    mc_t = mc_eff[t]
-    rl = o // mc_t
-    cl = o - rl * mc_t
+    mi_t = mi[t]
+    rl = o // mi_t
+    cl = (o - rl * mi_t) * span
     live = w < total
     first = ((cl == 0) & live).astype(jnp.int32)
-    compute = ((cl < m_col[t]) & live).astype(jnp.int32)
+    lcnt = jnp.where(live, jnp.clip(m_col[t] - cl, 0, span), 0
+                     ).astype(jnp.int32)
+    compute = (lcnt > 0).astype(jnp.int32)
     row_chunk = row_base[t] + rl
     col_chunk = jnp.clip(
         col_base[t] + jnp.minimum(cl, jnp.maximum(m_col[t] - 1, 0)),
         0, colmax - 1,
     )
     aux = row_chunk * 4 + first * 2 + compute
-    return aux.astype(jnp.int32), col_chunk.astype(jnp.int32), overflow
+    return (aux.astype(jnp.int32), col_chunk.astype(jnp.int32), lcnt,
+            overflow)
+
+
+def row_sweeps(m_row, m_col, row_base, col_base, chunk_tile_row, colmax: int,
+               span: int = 1):
+    """Per-row-chunk (first col chunk, first work item) scalars for the
+    COMPRESSED work-list form (kernels/tiled.py, cap > COMPRESS_ABOVE:
+    per-item aux only, col derived as clip(base[row] + (w - start[row]) *
+    span)).
+
+    Valid because a row chunk's col sweep is contiguous by construction:
+    row chunk rl of tile t owns items [istart[t] + rl*mi, ...+mi) over col
+    chunks [col_base[t], col_base[t]+m_col) - exactly the (base, start)
+    affine form.  ``chunk_tile_row`` is chunk_layout's chunk->tile map for
+    the ROW side (T on unused chunks - their scalars are never read: no aux
+    entry points at them)."""
+    T = m_row.shape[0]
+    mi = jnp.maximum(-(-m_col // span), 1)
+    it = m_row * mi
+    istart = (jnp.cumsum(it) - it).astype(jnp.int32)
+    t = jnp.clip(chunk_tile_row, 0, T - 1)
+    rc = jnp.arange(chunk_tile_row.shape[0], dtype=jnp.int32)
+    starts = istart[t] + (rc - row_base[t]) * mi[t]
+    base_c = jnp.clip(
+        col_base[t], 0, jnp.maximum(colmax - (mi[t] - 1) * span - 1, 0))
+    return base_c.astype(jnp.int32), starts.astype(jnp.int32)

@@ -104,6 +104,29 @@ class SamplerConfig:
     work_items_bwd: Optional[int] = None
     work_blocks_fwd: int = 8
     work_blocks_bwd: int = 16
+    # Column blocks packed into one work item (kernels/tiled.work_list
+    # ``span``): fewer grid steps amortize the fixed ~200 ns/item overhead
+    # (tools/bench_item_overhead.py) over span column sub-blocks; DMA count
+    # is unchanged.  Applies to both the tiled and chunked sampling paths.
+    work_span_fwd: int = 1
+    work_span_bwd: int = 1
+
+    def __post_init__(self):
+        # Periodic domains require the tile grid to cover the period
+        # EXACTLY.  With grid*tile > period, the overhang band
+        # [period, grid*tile) is phantom space: the unwrapped floor/ceil
+        # index math of the rect enumeration and the modulo-grid wrap
+        # disagree there, and entries whose footprint crosses the seam
+        # silently miss the wrapped tile (dropped pairs in a
+        # grid*tile - period wide band).  Snap the tile size to
+        # period / grid with grid = ceil(period/tile - 1e-9): existing
+        # grids keep their size (exact divisors like 0.25 don't bump up a
+        # tile), the tile only shrinks to fit.
+        if self.period is not None:
+            import math
+
+            grid = max(1, math.ceil(self.period / self.tile_size - 1e-9))
+            object.__setattr__(self, "tile_size", self.period / grid)
 
     @property
     def bwd_blocks(self):
@@ -124,9 +147,12 @@ class SamplerConfig:
         over the configured domain instead of data-dependent sample bounds.
         """
         if self.period is not None:
-            extent = [self.period] * self.D
-        else:
-            extent = [u - l for l, u in zip(self.lower, self.upper)]
+            # tile_size is snapped to period/grid (__post_init__), so the
+            # division is integral up to float rounding - round, don't ceil.
+            return tuple(
+                round(self.period / self.tile_size) for _ in range(self.D)
+            )
+        extent = [u - l for l, u in zip(self.lower, self.upper)]
         return tuple(int(-(-(e + 1e-6) // self.tile_size)) for e in extent)
 
     @property

@@ -207,7 +207,7 @@ def _tile_mask(s_tile_ref, ent_tile_ref):
 # ---------------------------------------------------------------------------
 
 
-def work_list(base, nblk, colmax: int, cap: int):
+def work_list(base, nblk, colmax: int, cap: int, span: int = 1):
     """Flatten per-row-block column sweeps into a static work-item list.
 
     ``base``/``nblk`` give each row block's sweep [base, base+nblk) over
@@ -217,59 +217,72 @@ def work_list(base, nblk, colmax: int, cap: int):
     work).  Items are ordered by row block, so the kernel's output index map
     is monotone and Pallas accumulates in VMEM between flushes.
 
+    ``span`` packs that many CONSECUTIVE column blocks into one work item
+    (the kernel carries one operand ref per sub-block and loops over the
+    live ones): ceil(nblk/span) items per row instead of nblk, amortizing
+    the fixed per-grid-step cost (~200 ns/item measured on-chip,
+    tools/bench_item_overhead.py) over span column blocks.  The DMA count
+    is unchanged (span refs per item); only the grid steps shrink.
+
     The kernels read the work list in one of two forms (their ``compressed``
     flag): per-item (aux, col) arrays (fastest index maps: one scalar read
     each), or - when the item count would overflow the 1MB scalar SMEM
     (COMPRESS_ABOVE, hit around 130k items, e.g. a 16M-sample single-chip
     shard) - per-item aux plus per-ROW (base, start) scalars with
-    col = clip(base[row] + (w - start[row])) derived in the index maps
-    (4 bytes per item instead of 8, at ~3% step cost).
+    col = clip(base[row] + (w - start[row]) * span) derived in the index
+    maps (4 bytes per item instead of 8, at ~3% step cost).  With span > 1
+    a per-item live-count vector rides along in both forms.
 
-    Returns (aux, col, base_c, starts, initialized, overflow):
+    Returns (aux, col, base_c, starts, lcnt, initialized, overflow):
       aux      (cap,) int32 = row * 4 + first * 2 + compute, where ``row`` is
         the item's row-block index, ``first`` flags its row block's first
         item (-> zero-init the output block), ``compute`` flags real work
-      col      (cap,) int32 column-block index per work item
+      col      (cap,) int32 FIRST column-block index per work item (the
+        item's sub-blocks cover [col, col + live))
       base_c   (B,) int32 per-row first column block, pre-clipped so derived
         cols stay in [0, colmax)
       starts   (B,) int32 per-row first work-item index
+      lcnt     (cap,) int32 live sub-blocks per item, in [0, span]
       initialized (B,) bool per row block: its first item fit under ``cap``
         (rows of uninitialized blocks are garbage; callers must treat any
         overflow as invalid results)
       overflow () int32: work items beyond ``cap`` (0 => exact)
     """
     B = base.shape[0]
-    nblk_eff = jnp.maximum(nblk, 1)
-    offs = jnp.cumsum(nblk_eff)
+    n_items = jnp.maximum(-(-nblk // span), 1)
+    offs = jnp.cumsum(n_items)
     total = offs[-1]
-    starts = (offs - nblk_eff).astype(jnp.int32)
+    starts = (offs - n_items).astype(jnp.int32)
     w = jnp.arange(cap, dtype=jnp.int32)
     # row[w] = which row block work item w belongs to.  starts is strictly
-    # increasing (nblk_eff >= 1), so scatter block boundaries and prefix-sum
+    # increasing (n_items >= 1), so scatter block boundaries and prefix-sum
     # - much cheaper than searchsorted (XLA lowers that to a while loop).
     row = jnp.cumsum(
         jnp.zeros((cap,), jnp.int32)
         .at[starts[1:]].add(1, mode="drop")
     )
     row = jnp.clip(row, 0, B - 1)
-    off = w - starts[row]
+    off = (w - starts[row]) * span
     live = w < total
     first = ((off == 0) & live).astype(jnp.int32)
-    compute = ((off < nblk[row]) & live).astype(jnp.int32)
+    lcnt = jnp.where(live, jnp.clip(nblk[row] - off, 0, span), 0
+                     ).astype(jnp.int32)
+    compute = (lcnt > 0).astype(jnp.int32)
     col = jnp.clip(
         base[row] + jnp.minimum(off, jnp.maximum(nblk[row] - 1, 0)),
         0, colmax - 1,
     ).astype(jnp.int32)
-    # Derived col = base_c[row] + (w - starts[row]) must stay in range even
-    # for padded / non-compute items: clip the base so base + nblk_eff - 1
-    # < colmax, and cap sentinel-tail offsets via the index maps' min.
+    # Derived col = base_c[row] + (w - starts[row]) * span must stay in
+    # range even for padded / non-compute items: clip the base so
+    # base + (n_items - 1) * span < colmax, and cap sentinel-tail offsets
+    # via the index maps' min.
     base_c = jnp.clip(
-        base, 0, jnp.maximum(colmax - nblk_eff, 0)
+        base, 0, jnp.maximum(colmax - (n_items - 1) * span - 1, 0)
     ).astype(jnp.int32)
     initialized = starts < cap
     overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
     aux = row * 4 + first * 2 + compute
-    return aux, col, base_c, starts, initialized, overflow
+    return aux, col, base_c, starts, lcnt, initialized, overflow
 
 
 # Work-item count above which the kernels switch to the compressed
@@ -282,10 +295,19 @@ COMPRESS_ABOVE = 120_000
 PSD_TOL = 1e-5
 
 
-def work_total(nblk) -> jnp.ndarray:
-    """Work items needed for a (padded) nblk vector; compare against the
-    static capacity for the overflow diagnostic."""
-    return jnp.sum(jnp.maximum(nblk, 1))
+def work_total(nblk, span: int = 1) -> jnp.ndarray:
+    """Work items needed for a (padded) nblk vector at the given span;
+    compare against the static capacity for the overflow diagnostic."""
+    return jnp.sum(jnp.maximum(-(-nblk // span), 1))
+
+
+def span_capacity(cap: int, n_rows: int, span: int) -> int:
+    """Safe static item capacity for a span-packed list given a span=1
+    capacity ``cap`` >= total: sum(ceil(n/span)) <= (total + (span-1) *
+    rows) / span."""
+    if span == 1:
+        return cap
+    return max(-(-(cap + (span - 1) * n_rows) // span), n_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +356,7 @@ def _separable_G_a(geom_ref, mono_ref, D, C, flip):
     return power, a
 
 
-def _wl_forward_kernel(orders, period, D, C, separable, tile_local,
+def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
                        n_prefetch, *refs):
     """Pair arrays are (BP entries, BN samples): entries ride the sublanes so
     the outputs land lane-major (K*C, BN) - a (N, K*C) layout would pad its
@@ -344,10 +366,19 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local,
     In separable mode the samples operand is the monomial matrix
     (mono_rows(D), BN) and power/a come off the MXU (_separable_G_a); the
     component weights and value matmuls are unchanged (they only need
-    (con, G, a))."""
+    (con, G, a)).
+
+    With ``span`` > 1 one grid step owns span consecutive entry blocks (one
+    (geom, ent_tile) ref pair per sub-block); the per-item live count gates
+    each sub-block's compute."""
     aux_ref = refs[0]
-    (geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
-     out_ref) = refs[n_prefetch:]
+    lcnt_ref = refs[n_prefetch - 1] if span > 1 else None
+    rest = refs[n_prefetch:]
+    geom_refs = rest[0:span]
+    ent_tile_refs = rest[span:2 * span]
+    samples_ref = rest[2 * span]
+    s_tile_ref = rest[2 * span + 1]
+    out_ref = rest[2 * span + 2]
     w = pl.program_id(0)
     a_w = aux_ref[w]
 
@@ -355,8 +386,7 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when((a_w & 1) != 0)
-    def _compute():
+    def _compute_one(geom_ref, ent_tile_ref):
         tri = tri_size(D)
         con = [geom_ref[D + t, :][:, None] for t in range(tri)]
         if separable:
@@ -401,6 +431,17 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local,
                                     preferred_element_type=jnp.float32))
         out_ref[...] += jnp.concatenate(accs, axis=0)  # (K*C, BN)
 
+    if span == 1:
+        @pl.when((a_w & 1) != 0)
+        def _compute():
+            _compute_one(geom_refs[0], ent_tile_refs[0])
+    else:
+        lc = lcnt_ref[w]
+        for m in range(span):
+            @pl.when(m < lc)
+            def _compute_m(m=m):
+                _compute_one(geom_refs[m], ent_tile_refs[m])
+
 
 def tiled_forward(
     orders: Tuple[str, ...],
@@ -414,6 +455,7 @@ def tiled_forward(
     block_e: int = 512,
     separable: bool = False,
     tile_local: bool = False,
+    span: int = 1,
 ) -> jnp.ndarray:
     """Packed lane-major (K*C, Np) outputs in tile-sorted sample order.
 
@@ -421,8 +463,11 @@ def tiled_forward(
     (components enumerate ``orders`` in sequence).  Columns of sample blocks
     whose work items overflowed the capacity are garbage - callers must
     treat any work-list overflow as invalid results.
+
+    ``span`` packs that many consecutive entry blocks per work item (the
+    work list must be built with the same span).
     """
-    aux, col, base_c, starts = wl
+    aux, col, base_c, starts, lcnt = wl
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
@@ -445,44 +490,54 @@ def tiled_forward(
     EB = Ep // block_e
 
     if cap > COMPRESS_ABOVE:
-        nsp = 3
         operands = (aux, base_c, starts)
 
-        def col_map(w, a, b, s):
-            r = a[w] >> 2
-            return (0, jnp.minimum(b[r] + (w - s[r]), EB - 1))
+        def col_map_m(m):
+            def col_map(w, a, b, s, *l):
+                r = a[w] >> 2
+                return (0, jnp.minimum(b[r] + (w - s[r]) * span + m, EB - 1))
+            return col_map
 
-        def row_map(w, a, b, s):
+        def row_map(w, a, b, s, *l):
             return (0, a[w] >> 2)
     else:
-        nsp = 2
         operands = (aux, col)
 
-        def col_map(w, a, c):
-            return (0, c[w])
+        def col_map_m(m):
+            def col_map(w, a, c, *l):
+                return (0, jnp.minimum(c[w] + m, EB - 1))
+            return col_map
 
-        def row_map(w, a, c):
+        def row_map(w, a, c, *l):
             return (0, a[w] >> 2)
+
+    if span > 1:
+        operands = operands + (lcnt,)
+    nsp = len(operands)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nsp,
         grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((NPARAM, block_e), col_map),
-            pl.BlockSpec((1, block_e), col_map),
-            pl.BlockSpec((SROWS, block_n), row_map),
-            pl.BlockSpec((1, block_n), row_map),
-        ],
+        in_specs=(
+            [pl.BlockSpec((NPARAM, block_e), col_map_m(m))
+             for m in range(span)]
+            + [pl.BlockSpec((1, block_e), col_map_m(m))
+               for m in range(span)]
+            + [
+                pl.BlockSpec((SROWS, block_n), row_map),
+                pl.BlockSpec((1, block_n), row_map),
+            ]
+        ),
         out_specs=pl.BlockSpec((K * C, block_n), row_map),
     )
 
     return pl.pallas_call(
         functools.partial(_wl_forward_kernel, orders, period, D, C,
-                          separable, tile_local, nsp),
+                          separable, tile_local, span, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
-    )(*operands, geom, ent_tile, s_sorted, s_tile)
+    )(*operands, *([geom] * span), *([ent_tile] * span), s_sorted, s_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -490,11 +545,18 @@ def tiled_forward(
 # ---------------------------------------------------------------------------
 
 
-def _wl_backward_kernel(orders, period, D, C, separable, moments,
+def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
                         n_prefetch, *refs):
     aux_ref = refs[0]
-    (geom_ref, ent_tile_ref, samples_ref, s_tile_ref,
-     ct_ref, ct_t_ref, dent_ref) = refs[n_prefetch:]
+    lcnt_ref = refs[n_prefetch - 1] if span > 1 else None
+    rest = refs[n_prefetch:]
+    geom_ref = rest[0]
+    ent_tile_ref = rest[1]
+    samples_refs = rest[2:2 + span]
+    s_tile_refs = rest[2 + span:2 + 2 * span]
+    ct_refs = rest[2 + 2 * span:2 + 3 * span]
+    ct_t_refs = rest[2 + 3 * span:2 + 4 * span]
+    dent_ref = rest[2 + 4 * span]
     w = pl.program_id(0)
     tri = tri_size(D)
     a_w = aux_ref[w]
@@ -503,8 +565,7 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments,
     def _init():
         dent_ref[...] = jnp.zeros_like(dent_ref)
 
-    @pl.when((a_w & 1) != 0)
-    def _compute():
+    def _compute_one(samples_ref, s_tile_ref, ct_ref, ct_t_ref):
         con = [geom_ref[D + t, :][None, :] for t in range(tri)]
         if separable or moments:
             # X from the monomial x_l rows and the tile-local mean rows
@@ -568,6 +629,19 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments,
                 + [dvals]
             )
         dent_ref[...] += jnp.concatenate(rows, axis=0)  # (NPARAM, BP)
+
+    if span == 1:
+        @pl.when((a_w & 1) != 0)
+        def _compute():
+            _compute_one(samples_refs[0], s_tile_refs[0], ct_refs[0],
+                         ct_t_refs[0])
+    else:
+        lc = lcnt_ref[w]
+        for m in range(span):
+            @pl.when(m < lc)
+            def _compute_m(m=m):
+                _compute_one(samples_refs[m], s_tile_refs[m], ct_refs[m],
+                             ct_t_refs[m])
 
 
 def moment_layout(orders, D: int):
@@ -726,12 +800,16 @@ def tiled_backward(
     block_e: int = 256,
     separable: bool = False,
     moments: bool = False,
+    span: int = 1,
 ) -> jnp.ndarray:
     """Packed per-entry gradients (D+tri+C, Ep): means rows, conic rows,
     value rows.  The caller segment-sums by gaussian id (deterministic
     replacement for backward.cu's atomicAdd scatter); any work-list overflow
-    means invalid results (callers check the diagnostics)."""
-    aux, col, base_c, starts = wl
+    means invalid results (callers check the diagnostics).
+
+    ``span`` packs that many consecutive sample blocks per work item (the
+    work list must be built with the same span)."""
+    aux, col, base_c, starts, lcnt = wl
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
@@ -759,52 +837,65 @@ def tiled_backward(
     NB = Np // block_n
 
     if cap > COMPRESS_ABOVE:
-        nsp = 3
         operands = (aux, base_c, starts)
 
-        def _col(w, a, b, s):
-            r = a[w] >> 2
-            return jnp.minimum(b[r] + (w - s[r]), NB - 1)
+        def _col(m):
+            def colf(w, a, b, s, *l):
+                r = a[w] >> 2
+                return jnp.minimum(b[r] + (w - s[r]) * span + m, NB - 1)
+            return colf
 
-        def col_map0(w, a, b, s):
-            return (0, _col(w, a, b, s))
+        def col_map0_m(m):
+            c = _col(m)
+            return lambda w, *sc: (0, c(w, *sc))
 
-        def col_map_r(w, a, b, s):
-            return (_col(w, a, b, s), 0)
+        def col_map_r_m(m):
+            c = _col(m)
+            return lambda w, *sc: (c(w, *sc), 0)
 
-        def row_map(w, a, b, s):
+        def row_map(w, a, b, s, *l):
             return (0, a[w] >> 2)
     else:
-        nsp = 2
         operands = (aux, col)
 
-        def col_map0(w, a, c):
-            return (0, c[w])
+        def col_map0_m(m):
+            return lambda w, a, c, *l: (0, jnp.minimum(c[w] + m, NB - 1))
 
-        def col_map_r(w, a, c):
-            return (c[w], 0)
+        def col_map_r_m(m):
+            return lambda w, a, c, *l: (jnp.minimum(c[w] + m, NB - 1), 0)
 
-        def row_map(w, a, c):
+        def row_map(w, a, c, *l):
             return (0, a[w] >> 2)
+
+    if span > 1:
+        operands = operands + (lcnt,)
+    nsp = len(operands)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nsp,
         grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((GROWS, block_e), row_map),
-            pl.BlockSpec((1, block_e), row_map),
-            pl.BlockSpec((SROWS, block_n), col_map0),
-            pl.BlockSpec((1, block_n), col_map0),
-            pl.BlockSpec((block_n, K * C), col_map_r),
-            pl.BlockSpec((K * C, block_n), col_map0),
-        ],
+        in_specs=(
+            [
+                pl.BlockSpec((GROWS, block_e), row_map),
+                pl.BlockSpec((1, block_e), row_map),
+            ]
+            + [pl.BlockSpec((SROWS, block_n), col_map0_m(m))
+               for m in range(span)]
+            + [pl.BlockSpec((1, block_n), col_map0_m(m))
+               for m in range(span)]
+            + [pl.BlockSpec((block_n, K * C), col_map_r_m(m))
+               for m in range(span)]
+            + [pl.BlockSpec((K * C, block_n), col_map0_m(m))
+               for m in range(span)]
+        ),
         out_specs=pl.BlockSpec((NOUT, block_e), row_map),
     )
 
     return pl.pallas_call(
         functools.partial(_wl_backward_kernel, orders, period, D, C,
-                          separable, moments, nsp),
+                          separable, moments, span, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NOUT, Ep), jnp.float32),
         interpret=_interpret(),
-    )(*operands, geom, ent_tile, s_sorted, s_tile, ct, ct_t)
+    )(*operands, geom, ent_tile, *([s_sorted] * span), *([s_tile] * span),
+      *([ct] * span), *([ct_t] * span))

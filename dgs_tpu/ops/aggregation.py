@@ -610,9 +610,9 @@ def preprocess_pallas(
     )                                                    # (Cp, D+3)
 
     # Same-tile chunk work lists for both sweep orientations.
-    aux_f, col_f, wf_of = chunked.work_list(
+    aux_f, col_f, _, wf_of = chunked.work_list(
         cm, em, cbase, ebase, plan.work_fwd, plan.e_chunks)
-    aux_b, col_b, wb_of = chunked.work_list(
+    aux_b, col_b, _, wb_of = chunked.work_list(
         em, cm, ebase, cbase, plan.work_bwd, plan.c_chunks)
 
     # Per-center total density -> inv_total (aggregate_neighbors.cu:120-125).

@@ -194,7 +194,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
                        padded_outputs: bool = False,
                        unwrapped: bool = False,
                        separable: Optional[bool] = None,
-                       moments: Optional[bool] = None):
+                       moments: Optional[bool] = None,
+                       fwd_span: int = 1, bwd_span: int = 1):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
     ``state``/geometry come from binning.grid (build + forward_geometry +
@@ -248,6 +249,14 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     if moments is None:
         moments = kernel_period is None and D >= 3
     else:
+        if moments and kernel_period is not None:
+            import warnings
+
+            warnings.warn(
+                "moment_backward=True requires wrap-free (tile-local) "
+                "kernels but the config is periodic without the compact-"
+                "support certificate (cfg.unwrapped_kernels); falling back "
+                "to the per-pair backward", stacklevel=2)
         moments = moments and kernel_period is None
     prep_sep = separable or moments
 
@@ -272,8 +281,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     fn = _pad_axis(fn, 0, NB_f)
     bb = jnp.clip(_pad_axis(bb, 0, EB_b), 0, NB_b - 1)
     bn = _pad_axis(bn, 0, EB_b)
-    wl_f = ktiled.work_list(fb, fn, EB_f, fwd_work_items)
-    wl_b = ktiled.work_list(bb, bn, NB_b, bwd_work_items)
+    wl_f = ktiled.work_list(fb, fn, EB_f, fwd_work_items, span=fwd_span)
+    wl_b = ktiled.work_list(bb, bn, NB_b, bwd_work_items, span=bwd_span)
 
     if not sorted_outputs:
         inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
@@ -302,9 +311,9 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         ent = ktiled.prepare_entries(state, m, v, c, align_e, cfg=cfg,
                                      separable=prep_sep)
         return ktiled.tiled_forward(
-            orders, kernel_period, D, C, wl_f[:4], ent, smp,
+            orders, kernel_period, D, C, wl_f[:5], ent, smp,
             block_n=block_n, block_e=block_e, separable=separable,
-            tile_local=fwd_tile_local,
+            tile_local=fwd_tile_local, span=fwd_span,
         )                     # (K*C, Np); columns >= N are zero
 
     def f_fwd(m, v, c):
@@ -317,9 +326,9 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         # the (Np, K*C) orientation (in-kernel transposed-lhs dots measure
         # slower than one outside transpose).
         dent = ktiled.tiled_backward(
-            orders, kernel_period, D, C, wl_b[:4], ent, smp, g.T, g,
+            orders, kernel_period, D, C, wl_b[:5], ent, smp, g.T, g,
             block_n=bwd_block_n, block_e=bwd_block_e, separable=separable,
-            moments=moments,
+            moments=moments, span=bwd_span,
         )
         if moments:
             # Fold the raw moment rows with the per-entry geometry - once
@@ -411,10 +420,13 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
     EB_b = _round_up(state.num_entries, align_e) // bbe
     slack_f = NB_f - fwd_geom[0].shape[0]
     slack_b = EB_b - bwd_geom[0].shape[0]
-    cap_f = (cfg.work_items_fwd + slack_f if cfg.work_items_fwd
-             else NB_f * cfg.work_blocks_fwd)
-    cap_b = (cfg.work_items_bwd + slack_b if cfg.work_items_bwd
-             else EB_b * cfg.work_blocks_bwd)
+    span_f, span_b = cfg.work_span_fwd, cfg.work_span_bwd
+    # Span-packed items: derive a safe capacity from the span=1 planner
+    # totals (sum(ceil(n/span)) <= (total + (span-1)*rows) / span).
+    cap_f = (ktiled.span_capacity(cfg.work_items_fwd, NB_f, span_f) + slack_f
+             if cfg.work_items_fwd else NB_f * cfg.work_blocks_fwd)
+    cap_b = (ktiled.span_capacity(cfg.work_items_bwd, EB_b, span_b) + slack_b
+             if cfg.work_items_bwd else EB_b * cfg.work_blocks_bwd)
 
     outs = sample_tiled_multi(
         tuple(orders), cfg, means, values, conics, samples, state,
@@ -422,7 +434,7 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
         sorted_outputs=sorted_outputs, unique_outputs=unique_outputs,
         padded_outputs=padded_outputs, unwrapped=cfg.unwrapped_kernels,
-        moments=cfg.moment_backward,
+        moments=cfg.moment_backward, fwd_span=span_f, bwd_span=span_b,
     )
     diag = {
         # With sorted_outputs, output row r corresponds to samples[perm[r]].
@@ -430,10 +442,10 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
         "bin_overflow": state.overflow,
         "entry_overflow": state.entry_overflow,
         "work_overflow_fwd": jnp.maximum(
-            ktiled.work_total(fwd_geom[1]) + slack_f - cap_f, 0
+            ktiled.work_total(fwd_geom[1], span_f) + slack_f - cap_f, 0
         ),
         "work_overflow_bwd": jnp.maximum(
-            ktiled.work_total(bwd_geom[1]) + slack_b - cap_b, 0
+            ktiled.work_total(bwd_geom[1], span_b) + slack_b - cap_b, 0
         ),
     }
     return dict(zip(orders, outs)), diag

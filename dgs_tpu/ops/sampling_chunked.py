@@ -32,8 +32,9 @@ import jax.numpy as jnp
 from ..config import SamplerConfig, n_components, out_shape, tri_size
 from . import formulas
 
-COMPRESS_LIMIT = 120_000  # kernels/tiled.COMPRESS_ABOVE: chunked lists must
-                          # stay below it (they carry no compressed form)
+# Work lists above kernels/tiled.COMPRESS_ABOVE automatically use the
+# compressed per-row (base, start) encoding (binning/chunked.row_sweeps), so
+# config-5-scale shards (16M samples) fit scalar SMEM like the tiled path.
 
 
 class ChunkPlan(NamedTuple):
@@ -58,7 +59,9 @@ class ChunkedSamples(NamedTuple):
     pos: jnp.ndarray       # (N,) padded slot of each original sample
     cm: jnp.ndarray        # (T,) sample chunks per tile
     cbase: jnp.ndarray     # (T,) first sample chunk of each tile
-    mono: jnp.ndarray      # (mono_rows(D), Nsp) separable monomial matrix
+    ctile: jnp.ndarray     # (s_chunks,) tile of each sample chunk, T unused
+    mono: Optional[jnp.ndarray]  # (mono_rows(D), Nsp) separable monomial
+                                 # matrix; None on wrapped configs
     overflow: jnp.ndarray  # () int32 chunk-capacity overflow
 
 
@@ -110,12 +113,6 @@ def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
     sm = np.asarray(jax.device_get(chunked.chunk_counts(sb.s_start, bn)))
     work_fwd = int((sm * np.maximum(em, 1)).sum() * headroom)
     work_bwd = int((em * np.maximum(sm, 1)).sum() * headroom)
-    if max(work_fwd, work_bwd) > COMPRESS_LIMIT:
-        raise ValueError(
-            f"chunked work list ({work_fwd}/{work_bwd} items) exceeds the "
-            f"scalar-SMEM budget ({COMPRESS_LIMIT}); coarsen tile_size or "
-            "enlarge the blocks"
-        )
     return cfg, ChunkPlan(
         rect=R,
         entries=max(-(-int(n_entries * headroom) // 128) * 128, 128),
@@ -138,7 +135,7 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     cfg = cfg.with_dims(D)
     sb = sample_binning if sample_binning is not None else binning.bin_samples(
         cfg, samples)
-    csrc, cvalid, stile, _, cbase, cm, s_of = chunked.chunk_layout(
+    csrc, cvalid, stile, ctile, cbase, cm, s_of = chunked.chunk_layout(
         sb.s_start, block_n, plan.s_chunks)
     Nsp = plan.s_chunks * block_n
     coords = sb.s_sorted.T[csrc].T                       # (D, Nsp)
@@ -155,6 +152,7 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     prep_sep = cfg.unwrapped_kernels or cfg.period is None
     return ChunkedSamples(
         s_coords=coords, s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
+        ctile=ctile,
         mono=(ktiled.sample_monomials(cfg, coords, s_tile, D)
               if prep_sep else None),
         overflow=s_of,
@@ -198,17 +196,29 @@ def sample_chunked_multi(
     (gid, tile, start, rect_of, ent_of) = binning.duplicate_entries(
         cfg, means, radii, plan.rect, min(P * plan.rect ** D, plan.entries)
     )
-    esrc, evalid, etile, _, ebase, em, e_of = chunked.chunk_layout(
+    esrc, evalid, etile, echunk_tile, ebase, em, e_of = chunked.chunk_layout(
         start, block_e, plan.e_chunks)
     gid_pad = jnp.where(evalid, gid[esrc], jnp.int32(P))
     tile_pad = jnp.where(evalid, etile, jnp.int32(2**30))[None, :]
 
-    aux_f, col_f, wf_of = chunked.work_list(
-        cs.cm, em, cs.cbase, ebase, plan.work_fwd, plan.e_chunks)
-    aux_b, col_b, wb_of = chunked.work_list(
-        em, cs.cm, ebase, cs.cbase, plan.work_bwd, plan.s_chunks)
-    wl_f = (aux_f, col_f, col_f, col_f)   # [2:] unused below COMPRESS_ABOVE
-    wl_b = (aux_b, col_b, col_b, col_b)
+    from ..kernels import tiled as _kt
+
+    span_f, span_b = cfg.work_span_fwd, cfg.work_span_bwd
+    cap_f = _kt.span_capacity(plan.work_fwd, plan.s_chunks, span_f)
+    cap_b = _kt.span_capacity(plan.work_bwd, plan.e_chunks, span_b)
+    aux_f, col_f, lcnt_f, wf_of = chunked.work_list(
+        cs.cm, em, cs.cbase, ebase, cap_f, plan.e_chunks, span=span_f)
+    aux_b, col_b, lcnt_b, wb_of = chunked.work_list(
+        em, cs.cm, ebase, cs.cbase, cap_b, plan.s_chunks, span=span_b)
+    # Per-row-chunk (base, start) scalars: the kernels switch to the
+    # compressed (4 bytes/item) work-list form above COMPRESS_ABOVE, which
+    # keeps config-5-scale shards (16M samples) inside scalar SMEM.
+    fbase, fstarts = chunked.row_sweeps(
+        cs.cm, em, cs.cbase, ebase, cs.ctile, plan.e_chunks, span=span_f)
+    bbase, bstarts = chunked.row_sweeps(
+        em, cs.cm, ebase, cs.cbase, echunk_tile, plan.s_chunks, span=span_b)
+    wl_f = (aux_f, col_f, fbase, fstarts, lcnt_f)
+    wl_b = (aux_b, col_b, bbase, bstarts, lcnt_b)
 
     # Entries are pre-shifted to their periodic image (prepare_entries
     # semantics), so the kernels run wrap-free when the config certifies
@@ -219,9 +229,18 @@ def sample_chunked_multi(
     # Moment-form backward where the coordinates are tile-local, D >= 3
     # auto default (see ops/sampling.sample_tiled_multi's A/B note);
     # cfg.moment_backward overrides.
-    moments = (kernel_period is None and D >= 3
-               if cfg.moment_backward is None
-               else cfg.moment_backward and kernel_period is None)
+    if cfg.moment_backward is None:
+        moments = kernel_period is None and D >= 3
+    else:
+        if cfg.moment_backward and kernel_period is not None:
+            import warnings
+
+            warnings.warn(
+                "moment_backward=True requires wrap-free (tile-local) "
+                "kernels but the config is periodic without the compact-"
+                "support certificate (cfg.unwrapped_kernels); falling back "
+                "to the per-pair backward", stacklevel=2)
+        moments = cfg.moment_backward and kernel_period is None
     prep_sep = separable or moments
 
     def _prepare(m, v, c):
@@ -253,7 +272,7 @@ def sample_chunked_multi(
         return ktiled.tiled_forward(
             orders, kernel_period, D, C, wl_f, ent, smp,
             block_n=block_n, block_e=block_e, separable=separable,
-            tile_local=fwd_tile_local,
+            tile_local=fwd_tile_local, span=span_f,
         )                     # (K*C, Nsp); pad columns are zero
 
     def f_fwd(m, v, c):
@@ -263,7 +282,7 @@ def sample_chunked_multi(
         dent = ktiled.tiled_backward(
             orders, kernel_period, D, C, wl_b, ent, smp, g.T, g,
             block_n=block_n, block_e=block_e, separable=separable,
-            moments=moments,
+            moments=moments, span=span_b,
         )
         if moments:
             dent = ktiled.moment_combine(orders, D, C, dent, ent[2])

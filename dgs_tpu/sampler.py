@@ -131,8 +131,10 @@ class GaussianSampler:
             N = samples.shape[0]
             NB_f = _round_up(N, max(bn, bbn)) // bn
             EB_b = _round_up(state.num_entries, max(be, bbe)) // bbe
-            total_f = int(jax.device_get(ktiled.work_total(self._fwd_geom[1])))
-            total_b = int(jax.device_get(ktiled.work_total(self._bwd_geom[1])))
+            total_f = int(jax.device_get(
+                ktiled.work_total(self._fwd_geom[1], cfg.work_span_fwd)))
+            total_b = int(jax.device_get(
+                ktiled.work_total(self._bwd_geom[1], cfg.work_span_bwd)))
             self._fwd_work = _bucket(
                 total_f + (NB_f - self._fwd_geom[0].shape[0])
             )
@@ -182,6 +184,8 @@ class GaussianSampler:
                 self.conics, self.samples, self.state, self._fwd_geom,
                 self._bwd_geom, self._fwd_work, self._bwd_work,
                 block_n=bn, block_e=be, bwd_block_n=bbn, bwd_block_e=bbe,
+                unwrapped=cfg.unwrapped_kernels, moments=cfg.moment_backward,
+                fwd_span=cfg.work_span_fwd, bwd_span=cfg.work_span_bwd,
             )
             return dict(zip(orders, outs))
         if self.method == "chunked":

@@ -4,6 +4,15 @@ TPU-native equivalent of the reference's debug machinery: the ``debug`` flag
 threaded through every op (__init__.py:215-216) enabling synchronous error
 checks (CHECK_CUDA, auxiliary.h:33-40) and the pre-call CPU snapshot dumped on
 exception (cpu_deep_copy_tuple + torch.save, __init__.py:17-19, 38-50).
+
+Coverage boundary (deliberate design): snapshots cover the EAGER entry
+points (facade method calls outside jit) - the reference's only execution
+mode.  Inside a trace (jit/grad/scan training steps) there is no host value
+to copy, so ``snapshot_call`` degrades to a plain call; compiled-step
+forensics are instead served by the in-step overflow diagnostics (carried
+through scan and checked every step by both training loops) and by
+``jax.config.update("jax_debug_nans", True)`` for NaN localization.  See
+docs/PARITY.md "debug/crash forensics".
 """
 
 from __future__ import annotations

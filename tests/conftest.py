@@ -7,20 +7,27 @@ Forces an 8-device virtual CPU mesh so sharding tests run without a TPU pod
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+_ON_TPU = os.environ.get("DGS_TEST_TPU", "") not in ("", "0")
+
+if not _ON_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 # The axon sitecustomize force-registers the tunneled TPU backend and
 # overrides JAX_PLATFORMS at interpreter start; undo it after import so tests
 # run on the virtual 8-device CPU mesh (eager test workloads over the TPU
-# tunnel are pathologically slow and single-tenant).
+# tunnel are pathologically slow and single-tenant).  DGS_TEST_TPU=1 keeps
+# the real chip visible instead, for the @pytest.mark.tpu smoke suite
+# (tests/test_tpu_smoke.py): compiled-Mosaic twins of the interpret-mode
+# kernel-vs-oracle tests.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

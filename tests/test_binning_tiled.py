@@ -99,7 +99,7 @@ def test_work_list_flattening():
 
     base = jnp.asarray([2, 0, 5, 1], jnp.int32)
     nblk = jnp.asarray([3, 0, 2, 1], jnp.int32)
-    aux, col, base_c, starts, initialized, overflow = ktiled.work_list(
+    aux, col, base_c, starts, lcnt, initialized, overflow = ktiled.work_list(
         base, nblk, colmax=8, cap=10
     )
     row, first, compute = aux >> 2, (aux >> 1) & 1, aux & 1
@@ -412,3 +412,46 @@ def test_moment_backward_matches_pairwise_backward(rng, D):
             a, b, rtol=2e-3, atol=2e-4 * max(1.0, float(np.abs(b).max())),
             err_msg=name,
         )
+
+
+def test_span_packed_work_items_match_span1(rng):
+    """work_span_fwd/bwd > 1 (multi-block work items) is a pure scheduling
+    change: outputs and gradients must be BIT-identical to span=1 (same
+    blocks, same accumulation order within a row block)."""
+    import dataclasses
+
+    from dgs_tpu.ops import sampling
+
+    P, N, D, C = 120, 384, 2, 2
+    means, values, covs, conics = make_gaussians(
+        rng, P, D, C, sigma_range=(0.03, 0.1))
+    samples = jnp.asarray(rng.uniform(-1, 1, (N, D)).astype(np.float32))
+    m, v, cov, c = map(jnp.asarray, (means, values, covs, conics))
+    base = SamplerConfig(tile_size=0.11, max_tiles_per_gaussian=8,
+                         entry_capacity_factor=120.0, work_blocks_fwd=256,
+                         work_blocks_bwd=256, block_n=128, block_p=128,
+                         block_n_bwd=128, block_p_bwd=128, eig_floor=1e-12)
+
+    def run(cfg):
+        outs, diag = sampling.sample_binned(
+            cfg, m, v, c, cov, samples, ("value", "laplacian"))
+        for k, val in diag.items():
+            if k != "perm":
+                assert int(val) == 0, (k, int(val))
+
+        def loss(mm, vv, cc):
+            o, _ = sampling.sample_binned(
+                cfg, mm, vv, cc, cov, samples, ("value", "laplacian"))
+            return sum(jnp.sum(x * x) / x.size for x in o.values())
+
+        return outs, jax.grad(loss, argnums=(0, 1, 2))(m, v, c)
+
+    o1, g1 = run(base)
+    for sf, sb in [(2, 2), (4, 3)]:
+        o2, g2 = run(dataclasses.replace(
+            base, work_span_fwd=sf, work_span_bwd=sb))
+        for k in o1:
+            np.testing.assert_array_equal(np.asarray(o1[k]),
+                                          np.asarray(o2[k]))
+        for a, b in zip(g1, g2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -9,11 +9,13 @@ six parameter groups.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dgs_tpu.config import SamplerConfig
 from dgs_tpu.models import dynamics
 
 
+@pytest.mark.slow
 def test_dynamics_training_reduces_loss():
     cfg = SamplerConfig(tile_size=0.51)
     params, hist = dynamics.train(
@@ -56,6 +58,7 @@ def test_rollout_step_differentiable_through_scan():
     assert float(jnp.abs(grads.queries).sum()) > 0
 
 
+@pytest.mark.slow
 def test_dynamics_pallas_aggregation_with_tiled_eval_learns():
     """The large-P production combination: Pallas chunked aggregation
     kernels for the dynamics layer + binned Pallas sampler for the rollout
@@ -72,6 +75,7 @@ def test_dynamics_pallas_aggregation_with_tiled_eval_learns():
     assert hist[-1]["loss"] < hist[0]["loss"] * 0.7, [h["loss"] for h in hist]
 
 
+@pytest.mark.slow
 def test_dynamics_ladder_frequencies_and_scan_chunk_learns():
     """Production loop shape: shared-base frequency ladder (angle-addition
     sincos recurrence in the Pallas kernels), scan-chunked optimizer steps,

@@ -76,6 +76,7 @@ print("RESULT " + json.dumps({"pid": pid, "loss": float(l),
 """
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process(rng, tmp_path):
     port = _free_port()
     coordinator = f"localhost:{port}"

@@ -57,6 +57,7 @@ def test_sharded_tiled_matches_unsharded(rng):
     np.testing.assert_allclose(got, ref["value"], rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_training_step_runs_and_learns():
     mesh = pmesh.make_mesh((4, 2))
     cfg = SamplerConfig()
@@ -161,6 +162,7 @@ def test_model_sharded_step_matches_replicated():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_model_sharded_step_learns_tiled():
     mesh = pmesh.make_mesh((4, 2))
     cfg = SamplerConfig(work_blocks_fwd=16, work_blocks_bwd=32)
@@ -329,6 +331,7 @@ def test_chunked_grad_allreduce_independence_in_compiled_hlo():
     assert len(compute) > 100, (len(only_second), len(compute))
 
 
+@pytest.mark.slow
 def test_sharded_aggregation_matches_unsharded():
     """Model-parallel neighbor aggregation (tile-range shards, SURVEY.md
     section 5 comm-backend row - the second subsystem's distribution
@@ -403,6 +406,7 @@ def test_sharded_aggregation_matches_unsharded():
     assert "all-reduce" in txt
 
 
+@pytest.mark.slow
 def test_sharded_dynamics_step_learns():
     """One jitted model-sharded dynamics training step runs end-to-end on
     the virtual mesh and reduces the loss (the aggregation subsystem's

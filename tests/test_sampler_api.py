@@ -260,3 +260,43 @@ def test_debug_named_errors():
     bad = f.means.at[0, 0].set(jnp.nan)
     with pytest.raises(FloatingPointError):
         GaussianSampler(debug=True).preprocess(bad, f.values, cov, con, x)
+
+
+def test_module_level_preprocess_aggregate_methods(rng):
+    """The functional preprocess_aggregate mirrors the facade's method
+    dispatch (ext.cpp:29 parity at the module surface): method="pallas"
+    builds the production AggBinning structure and its aggregation matches
+    the grid-table path."""
+    import dgs_tpu
+    from dgs_tpu.ops import aggregation
+    from dgs_tpu.oracle.dense import radii as compute_radii
+
+    means, values, covs, conics = make_gaussians(
+        rng, 30, 2, 3, sigma_range=(0.05, 0.2)
+    )
+    m, cov, c = map(jnp.asarray, (means, covs, conics))
+    cfg = SamplerConfig()
+    rad = compute_radii(cov, 2, cfg.radius_sigma, cfg.eig_floor)
+
+    agg_p = dgs_tpu.preprocess_aggregate(cfg, m, c, rad, method="pallas")
+    assert isinstance(agg_p, aggregation.AggBinning)
+    agg_g = dgs_tpu.preprocess_aggregate(cfg, m, c, rad, method="grid",
+                                         neighbor_capacity=64)
+    assert isinstance(agg_g, aggregation.Neighbors)
+
+    P, L, K, E = 30, 3, 3, 5
+    r = np.random.default_rng(11)
+    args = (
+        jnp.asarray(r.normal(size=(P, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(L, L)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(P, K)).astype(np.float32)),
+        jnp.asarray(r.normal(size=(P, K)).astype(np.float32)),
+        jnp.asarray(np.arange(1.0, 2.0).astype(np.float32)),
+        jnp.asarray(r.normal(size=(2 * E,)).astype(np.float32)),
+    )
+    out_p = dgs_tpu.aggregate_neighbors(*args, agg_p)
+    out_g = dgs_tpu.aggregate_neighbors(*args, agg_g)
+    np.testing.assert_allclose(out_p, out_g, rtol=2e-4, atol=2e-5)
+
+    with pytest.raises(ValueError, match="method"):
+        dgs_tpu.preprocess_aggregate(cfg, m, c, rad, method="nope")

@@ -53,6 +53,8 @@ def main():
             "BENCH_BBP", 256 if D == 3 else blocks.bwd_blocks[1])),
         moment_backward=(None if "BENCH_MOMENTS" not in os.environ
                          else os.environ["BENCH_MOMENTS"] == "1"),
+        work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 1)),
+        work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 1)),
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked

@@ -109,17 +109,34 @@ def main():
         if x
     ] or sorted({1, min(2, len(jax.devices())), len(jax.devices())})
 
+    counts = [n for n in counts if n <= len(jax.devices())]
+    if strong and counts:
+        # Strong mode treats SCALE_P/SCALE_N as fixed totals; every device
+        # count must divide them (make_sharded_pigs_step asserts it).  Round
+        # up front so an indivisible total can't abort mid-sweep.
+        lcm = 1
+        for n in counts:
+            import math
+
+            lcm = lcm * n // math.gcd(lcm, n)
+        N_r = -(-N_per // lcm) * lcm
+        P_r = -(-P_per // lcm) * lcm
+        if (N_r, P_r) != (N_per, P_per):
+            print(f"note: rounding SCALE_N {N_per}->{N_r}, SCALE_P "
+                  f"{P_per}->{P_r} to a multiple of the device counts "
+                  f"{counts}", file=sys.stderr)
+            N_per, P_per = N_r, P_r
+
     base = None
     for n in counts:
-        if n > len(jax.devices()):
-            continue
         sps, dt = run_one(n, P_per, N_per, steps, mode, strong)
         if base is None:
-            base = sps
-        # Weak scaling: ideal = base throughput x n (per-device work fixed).
-        # Strong scaling: ideal = base throughput x n too (total work fixed,
-        # step time should drop 1/n), so the same ratio applies.
-        eff = sps / (base * n)
+            base, base_n = sps, n
+        # Weak scaling: ideal = per-device throughput fixed, so total
+        # throughput scales as n / base_n relative to the FIRST measured
+        # count (which need not be 1 device).  Strong scaling: ideal = step
+        # time drops 1/n, so the same n/base_n ratio applies.
+        eff = (sps / base) * (base_n / n)
         print(json.dumps({
             "metric": ("strong" if strong else "weak")
                       + "_scaling_samples_per_sec",
@@ -127,7 +144,8 @@ def main():
             "mode": mode,
             "value": round(sps, 1),
             "step_s": round(dt, 5),
-            "scaling_efficiency_vs_1dev": round(eff, 4),
+            "scaling_efficiency_vs_first_count": round(eff, 4),
+            "baseline_devices": base_n,
             "backend": jax.default_backend(),
         }), flush=True)
 
