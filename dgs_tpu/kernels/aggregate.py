@@ -230,14 +230,19 @@ def totals(D: int, period, wl, ent_geo, ctr_geo,
 # ---------------------------------------------------------------------------
 
 
-def _forward_kernel(D, L, K, nfreq, E, period, ladder, *refs):
+def _forward_kernel(D, L, K, nfreq, E, period, ladder, with_totals, *refs):
     aux_ref = refs[0]
-    ent_ref, ent_fk_ref, ctr_ref, dtf_ref, out_ref = refs[2:]
+    if with_totals:
+        ent_ref, ent_fk_ref, ctr_ref, dtf_ref, out_ref, tot_ref = refs[2:]
+    else:
+        ent_ref, ent_fk_ref, ctr_ref, dtf_ref, out_ref = refs[2:]
     a_w = aux_ref[pl.program_id(0)]
 
     @pl.when((a_w & 2) != 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
+        if with_totals:
+            tot_ref[...] = jnp.zeros_like(tot_ref)
 
     @pl.when((a_w & 1) != 0)
     def _compute():
@@ -247,6 +252,14 @@ def _forward_kernel(D, L, K, nfreq, E, period, ladder, *refs):
         inv_tot = c(D + C_INVTOT)
         Xn = [x * inv_norm for x in Xs]
         emb, fac, _ = _sincode(D, nfreq, Xn, dtf_ref, E, False, ladder)
+        if with_totals:
+            # Fused-totals mode: the structure's inv_tot column is 1.0; the
+            # caller scales the (linear-in-inv_tot) output rows outside
+            # with the totals emitted here - removing the separate totals
+            # pair sweep from every training step (the reference recomputes
+            # total densities in every preprocess too,
+            # aggregate_neighbors.cu:120-125).
+            tot_ref[...] += jnp.sum(G, axis=1, keepdims=True)
         coeff = G * w * inv_tot                      # (Bc, Be)
         # pre[c, l] = sum_e (coeff * fac)[c, e] * feat[l, e] on the MXU,
         # plus the embedding's broadcast column (the same scalar feeds every
@@ -269,9 +282,14 @@ def _forward_kernel(D, L, K, nfreq, E, period, ladder, *refs):
 def forward(D: int, L: int, K: int, nfreq: int, period,
             wl, ent_geo, ent_fk, ctr_geo, dtf,
             *, block_n: int, block_e: int,
-            ladder: bool = False) -> jnp.ndarray:
+            ladder: bool = False, with_totals: bool = False):
     """(Cp, L) raw pre-activation (before the LxL transform - one XLA
-    matmul outside, exact because the transform is linear)."""
+    matmul outside, exact because the transform is linear).
+
+    ``with_totals`` additionally returns the (Cp, 1) per-center total
+    density from the SAME pair sweep (the structure's inv_tot column must
+    then be 1.0; the caller applies the normalization outside - every
+    center's row is linear in its inv_total)."""
     aux, col = wl
     Cp = ctr_geo.shape[0]
     E = (dtf.shape[1] - nfreq) // 2
@@ -294,13 +312,22 @@ def forward(D: int, L: int, K: int, nfreq: int, period,
             pl.BlockSpec((block_n, ctr_geo.shape[1]), row_map),
             pl.BlockSpec((1, dtf.shape[1]), rep_map),
         ],
-        out_specs=pl.BlockSpec((block_n, L), row_map),
+        out_specs=(
+            [pl.BlockSpec((block_n, L), row_map),
+             pl.BlockSpec((block_n, 1), row_map)]
+            if with_totals else pl.BlockSpec((block_n, L), row_map)
+        ),
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((Cp, L), jnp.float32),
+         jax.ShapeDtypeStruct((Cp, 1), jnp.float32)]
+        if with_totals else jax.ShapeDtypeStruct((Cp, L), jnp.float32)
     )
     return pl.pallas_call(
         functools.partial(_forward_kernel, D, L, K, nfreq, E, period,
-                          ladder),
+                          ladder, with_totals),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Cp, L), jnp.float32),
+        out_shape=out_shape,
         interpret=_interpret(),
     )(aux, col, ent_geo, ent_fk, ctr_geo, dtf)
 

@@ -93,6 +93,13 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int,
     Sentinel entries (gid == P) hit an appended zero row; they are also
     tile-masked in-kernel, so both forward and backward contributions vanish
     (their garbage shift is harmless).
+
+    Row 0 of ``geom`` is the entry's tile id as f32 (-1.0 on pad slots):
+    the kernels mask pairs by comparing it against the sample operand's
+    tile row, so the tile ids ride the SAME DMA as the parameters instead
+    of a separate (1, block) operand per sub-block (DMA issue is the bulk
+    of the fixed per-work-item cost).  Exact while tile counts stay below
+    2^24 (f32 integer range); sample pads use -2.0 so pads never pair.
     """
     from ..binning import grid as binning
 
@@ -126,8 +133,24 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int,
         ent = ent[:, :D + tri + C].at[:, :D].add(-period * k.astype(ent.dtype))
     if separable:
         ent = separable_extend(cfg.with_dims(D), ent, tile, D)
-    geom = ent.T                   # (NPARAM[+sep_rows], Ep) lane-major
+    tile_f = entry_tile_row(tile)
+    # (1 + NPARAM[+sep_rows], Ep) lane-major; row 0 is the tile row.
+    geom = jnp.concatenate([tile_f, ent.T], axis=0)
     return gid, tile, geom, Ep
+
+
+def entry_tile_row(tile) -> jnp.ndarray:
+    """(1, E) f32 tile row for the entry-side operand: valid tile ids pass
+    through exactly (tiles < 2^24), pad slots (tile >= 2^30) become -1.0 so
+    they can never equal a sample tile (sample pads are -2.0)."""
+    t = tile.reshape(1, -1)
+    return jnp.where(t >= jnp.int32(2**30), -1.0, t.astype(jnp.float32))
+
+
+def sample_tile_row(tile) -> jnp.ndarray:
+    """(1, N) f32 tile row for the sample-side operand (pads -> -2.0)."""
+    t = tile.reshape(1, -1)
+    return jnp.where(t >= jnp.int32(2**30), -2.0, t.astype(jnp.float32))
 
 
 def separable_extend(cfg, ent, tile, D: int):
@@ -182,7 +205,9 @@ def prepare_samples(state: BinningState, samples, block_n: int,
                     cfg=None, separable: bool = False):
     """Padded tile-sorted sample coordinates (+ the separable kernels' tile-
     local monomial matrix; parameter-independent, so hoistable with the
-    sample binning).  Returns (s_sorted, s_tile, Np, mono-or-None)."""
+    sample binning).  Returns (s_sorted, s_tile, Np, mono-or-None); row 0 of
+    both s_sorted and mono is the f32 sample tile row (see prepare_entries -
+    the mask rides the parameter DMA)."""
     from ..binning import grid as binning
 
     N, D = samples.shape
@@ -190,9 +215,13 @@ def prepare_samples(state: BinningState, samples, block_n: int,
     s_sorted = _pad_axis(state.s_sorted, 1, Np)  # sorted coords ride the sort
     s_tile = _pad_axis(state.s_tile, 1, Np)
     s_tile = jnp.where(jnp.arange(Np)[None, :] >= N, jnp.int32(2**30 + 1), s_tile)
+    tile_f = sample_tile_row(s_tile)
     mono = None
     if separable:
-        mono = sample_monomials(cfg.with_dims(D), s_sorted, s_tile, D)
+        mono = jnp.concatenate(
+            [tile_f, sample_monomials(cfg.with_dims(D), s_sorted, s_tile, D)],
+            axis=0)
+    s_sorted = jnp.concatenate([tile_f, s_sorted], axis=0)
     return s_sorted, s_tile, Np, mono
 
 
@@ -333,14 +362,17 @@ def _separable_G_a(geom_ref, mono_ref, D, C, flip):
     i.e. one (1+D+tri)-deep and D (1+D)-deep MXU contractions replace the
     per-pair VPU chains of power_terms.  ``flip`` selects the (BN, BP)
     backward orientation.  Returns (power, a) WITHOUT the PSD mask.
+
+    Row 0 of both operands is the tile row (prepare_entries /
+    prepare_samples); all parameter rows sit one below their logical index.
     """
     tri = tri_size(D)
     MP = 1 + D
-    NP0 = D + tri + C
-    M1 = mono_ref[0:MP, :]
-    M2 = mono_ref[MP:MP + tri, :]
+    NP0 = 1 + D + tri + C
+    M1 = mono_ref[1:1 + MP, :]
+    M2 = mono_ref[1 + MP:1 + MP + tri, :]
     ub = geom_ref[NP0:NP0 + MP, :]
-    conr = geom_ref[D:D + tri, :]
+    conr = geom_ref[1 + D:1 + D + tri, :]
     if flip:
         power = _dot0(M1, ub) + _dot0(M2, conr)
         a = [
@@ -369,16 +401,16 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
     (con, G, a)).
 
     With ``span`` > 1 one grid step owns span consecutive entry blocks (one
-    (geom, ent_tile) ref pair per sub-block); the per-item live count gates
-    each sub-block's compute."""
+    geom ref per sub-block); the per-item live count gates each sub-block's
+    compute.  Row 0 of the geom and sample operands is the f32 tile row
+    (prepare_entries / prepare_samples) - the pair mask rides the parameter
+    DMAs instead of separate (1, block) operands."""
     aux_ref = refs[0]
     lcnt_ref = refs[n_prefetch - 1] if span > 1 else None
     rest = refs[n_prefetch:]
     geom_refs = rest[0:span]
-    ent_tile_refs = rest[span:2 * span]
-    samples_ref = rest[2 * span]
-    s_tile_ref = rest[2 * span + 1]
-    out_ref = rest[2 * span + 2]
+    samples_ref = rest[span]
+    out_ref = rest[span + 1]
     w = pl.program_id(0)
     a_w = aux_ref[w]
 
@@ -386,9 +418,9 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    def _compute_one(geom_ref, ent_tile_ref):
+    def _compute_one(geom_ref):
         tri = tri_size(D)
-        con = [geom_ref[D + t, :][:, None] for t in range(tri)]
+        con = [geom_ref[1 + D + t, :][:, None] for t in range(tri)]
         if separable:
             power, a = _separable_G_a(geom_ref, samples_ref, D, C, flip=False)
             # The MXU-evaluated power has entry-scale cancellation: a pair
@@ -402,26 +434,28 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
             Xs = [None] * D
         elif tile_local:
             # The samples operand is the monomial matrix (moment-form
-            # backward prep): xl rides rows [1, 1+D) and geom means are
-            # tile-local, so X = mu_l - xl wrap-free on the VPU.
+            # backward prep): xl rides rows [2, 2+D) (below the tile row
+            # and the ones row) and geom means are tile-local, so
+            # X = mu_l - xl wrap-free on the VPU.
             Xs = [
-                geom_ref[d, :][:, None] - samples_ref[1 + d, :][None, :]
+                geom_ref[1 + d, :][:, None] - samples_ref[2 + d, :][None, :]
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
         else:
             Xs = [
                 formulas.wrap(
-                    geom_ref[d, :][:, None] - samples_ref[d, :][None, :],
+                    geom_ref[1 + d, :][:, None]
+                    - samples_ref[1 + d, :][None, :],
                     period,
                 )
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
         G = G * (
-            ent_tile_ref[0, :][:, None] == s_tile_ref[0, :][None, :]
+            geom_ref[0, :][:, None] == samples_ref[0, :][None, :]
         ).astype(jnp.float32)
-        values_t = geom_ref[D + tri:D + tri + C, :]  # (C, BP)
+        values_t = geom_ref[1 + D + tri:1 + D + tri + C, :]  # (C, BP)
         accs = []
         for order in orders:
             for wgt in formulas.components_unique(order, Xs, con, G, a):
@@ -434,13 +468,13 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
     if span == 1:
         @pl.when((a_w & 1) != 0)
         def _compute():
-            _compute_one(geom_refs[0], ent_tile_refs[0])
+            _compute_one(geom_refs[0])
     else:
         lc = lcnt_ref[w]
         for m in range(span):
             @pl.when(m < lc)
             def _compute_m(m=m):
-                _compute_one(geom_refs[m], ent_tile_refs[m])
+                _compute_one(geom_refs[m])
 
 
 def tiled_forward(
@@ -471,20 +505,24 @@ def tiled_forward(
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
+    # All operands carry the f32 tile row at row 0 (prepare_entries /
+    # prepare_samples), so every logical row count is +1.
     if separable:
-        NPARAM = n_params(D, C) + sep_rows(D)
-        SROWS = mono_rows(D)
+        NPARAM = 1 + n_params(D, C) + sep_rows(D)
+        SROWS = 1 + mono_rows(D)
     elif tile_local:
         # Separable-extended operands, per-pair VPU math: read only the
-        # base parameter rows and the [1, xl] head of the monomial matrix.
+        # base parameter rows and the [tile, 1, xl] head of the monomial
+        # matrix.
         def _pref(want, full):
             blk = _round_up(want, 8)
             return blk if blk < full else full
-        NPARAM = _pref(n_params(D, C), n_params(D, C) + sep_rows(D))
-        SROWS = _pref(1 + D, mono_rows(D))
+        NPARAM = _pref(1 + n_params(D, C),
+                       1 + n_params(D, C) + sep_rows(D))
+        SROWS = _pref(2 + D, 1 + mono_rows(D))
     else:
-        NPARAM = n_params(D, C)
-        SROWS = D
+        NPARAM = 1 + n_params(D, C)
+        SROWS = 1 + D
     tri = tri_size(D)
     cap = aux.shape[0]
     EB = Ep // block_e
@@ -521,12 +559,7 @@ def tiled_forward(
         in_specs=(
             [pl.BlockSpec((NPARAM, block_e), col_map_m(m))
              for m in range(span)]
-            + [pl.BlockSpec((1, block_e), col_map_m(m))
-               for m in range(span)]
-            + [
-                pl.BlockSpec((SROWS, block_n), row_map),
-                pl.BlockSpec((1, block_n), row_map),
-            ]
+            + [pl.BlockSpec((SROWS, block_n), row_map)]
         ),
         out_specs=pl.BlockSpec((K * C, block_n), row_map),
     )
@@ -537,7 +570,7 @@ def tiled_forward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
-    )(*operands, *([geom] * span), *([ent_tile] * span), s_sorted, s_tile)
+    )(*operands, *([geom] * span), s_sorted)
 
 
 # ---------------------------------------------------------------------------
@@ -551,12 +584,10 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
     lcnt_ref = refs[n_prefetch - 1] if span > 1 else None
     rest = refs[n_prefetch:]
     geom_ref = rest[0]
-    ent_tile_ref = rest[1]
-    samples_refs = rest[2:2 + span]
-    s_tile_refs = rest[2 + span:2 + 2 * span]
-    ct_refs = rest[2 + 2 * span:2 + 3 * span]
-    ct_t_refs = rest[2 + 3 * span:2 + 4 * span]
-    dent_ref = rest[2 + 4 * span]
+    samples_refs = rest[1:1 + span]
+    ct_refs = rest[1 + span:1 + 2 * span]
+    ct_t_refs = rest[1 + 2 * span:1 + 3 * span]
+    dent_ref = rest[1 + 3 * span]
     w = pl.program_id(0)
     tri = tri_size(D)
     a_w = aux_ref[w]
@@ -565,30 +596,34 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
     def _init():
         dent_ref[...] = jnp.zeros_like(dent_ref)
 
-    def _compute_one(samples_ref, s_tile_ref, ct_ref, ct_t_ref):
-        con = [geom_ref[D + t, :][None, :] for t in range(tri)]
+    def _compute_one(samples_ref, ct_ref, ct_t_ref):
+        con = [geom_ref[1 + D + t, :][None, :] for t in range(tri)]
         if separable or moments:
-            # X from the monomial x_l rows and the tile-local mean rows
+            # X from the monomial x_l rows (below the tile and ones rows)
+            # and the tile-local mean rows
             # (X = mu_l - x_l == mu' - x for every same-tile pair).
             # power/a stay on the VPU here: the (BN, BP) orientation would
             # need transposed-lhs MXU dots, measured +14 ms/step at the D=3
             # operating point (the forward's (BP, BN) orientation wins -4).
             Xs = [
-                geom_ref[d, :][None, :] - samples_ref[1 + d, :][:, None]
+                geom_ref[1 + d, :][None, :] - samples_ref[2 + d, :][:, None]
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
         else:
             Xs = [
                 formulas.wrap(
-                    geom_ref[d, :][None, :] - samples_ref[d, :][:, None],
+                    geom_ref[1 + d, :][None, :]
+                    - samples_ref[1 + d, :][:, None],
                     period,
                 )
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
-        G = G * _tile_mask(s_tile_ref, ent_tile_ref)
-        values_t = geom_ref[D + tri:D + tri + C, :]  # (C, BP)
+        G = G * (
+            samples_ref[0, :][:, None] == geom_ref[0, :][None, :]
+        ).astype(jnp.float32)
+        values_t = geom_ref[1 + D + tri:1 + D + tri + C, :]  # (C, BP)
 
         k0 = 0
         dvals = None
@@ -633,15 +668,13 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
     if span == 1:
         @pl.when((a_w & 1) != 0)
         def _compute():
-            _compute_one(samples_refs[0], s_tile_refs[0], ct_refs[0],
-                         ct_t_refs[0])
+            _compute_one(samples_refs[0], ct_refs[0], ct_t_refs[0])
     else:
         lc = lcnt_ref[w]
         for m in range(span):
             @pl.when(m < lc)
             def _compute_m(m=m):
-                _compute_one(samples_refs[m], s_tile_refs[m], ct_refs[m],
-                             ct_t_refs[m])
+                _compute_one(samples_refs[m], ct_refs[m], ct_t_refs[m])
 
 
 def moment_layout(orders, D: int):
@@ -681,8 +714,9 @@ def _moment_rows(orders, D, mono_ref, con, G, a, hs, lap_polys, third_polys):
     MP = 1 + D
 
     def mom(V, rows):
-        # (rows, BN) @ (BN, BP) with fp32 accumulate.
-        return jnp.dot(mono_ref[0:rows, :], V,
+        # (rows, BN) @ (BN, BP) with fp32 accumulate; the monomial basis
+        # starts at row 1 (row 0 is the tile row).
+        return jnp.dot(mono_ref[1:1 + rows, :], V,
                        preferred_element_type=jnp.float32)
 
     def zrow(n, like):
@@ -720,8 +754,9 @@ def moment_combine(orders, D: int, C: int, dent, geom):
     tri = tri_size(D)
     has_w, has_hl, has_y, n_rows = moment_layout(orders, D)
     MP = 1 + D
-    mu = [geom[d] for d in range(D)]                   # tile-local (Ep,)
-    Cc = lambda i, j: geom[D + tri_index(D, i, j)]
+    # geom row 0 is the tile row (prepare_entries).
+    mu = [geom[1 + d] for d in range(D)]               # tile-local (Ep,)
+    Cc = lambda i, j: geom[1 + D + tri_index(D, i, j)]
 
     r = 0
     M_S0 = dent[r:r + MP + tri]
@@ -818,20 +853,22 @@ def tiled_backward(
     # caller folds them per entry via moment_combine.
     NOUT = (moment_layout(orders, D)[3] + C) if moments else NPARAM
     # The backward only reads the base parameter rows of the separable-
-    # extended geom and the [1, x_l] head of the monomial matrix; a block
-    # row-prefix smaller than the operand saves the unused rows' HBM reads.
-    # TPU blocks must have row counts divisible by 8 or equal to the full
-    # dimension, so round the prefix up (and fall back to the full rows).
+    # extended geom and the [tile, 1, x_l] head of the monomial matrix; a
+    # block row-prefix smaller than the operand saves the unused rows' HBM
+    # reads.  TPU blocks must have row counts divisible by 8 or equal to the
+    # full dimension, so round the prefix up (and fall back to the full
+    # rows).  All operands carry the f32 tile row at row 0.
     def _prefix(want, full):
         blk = _round_up(want, 8)
         return blk if blk < full else full
 
     sep_prep = separable or moments
-    GROWS = _prefix(NPARAM, NPARAM + sep_rows(D)) if sep_prep else NPARAM
+    GROWS = (_prefix(1 + NPARAM, 1 + NPARAM + sep_rows(D)) if sep_prep
+             else 1 + NPARAM)
     # The moment path contracts against the FULL monomial basis (incl. the
-    # quadratic rows); the plain separable path reads only [1, xl].
-    SROWS = (mono_rows(D) if moments
-             else _prefix(1 + D, mono_rows(D)) if sep_prep else D)
+    # quadratic rows); the plain separable path reads only [tile, 1, xl].
+    SROWS = (1 + mono_rows(D) if moments
+             else _prefix(2 + D, 1 + mono_rows(D)) if sep_prep else 1 + D)
     tri = tri_size(D)
     cap = aux.shape[0]
     NB = Np // block_n
@@ -875,13 +912,8 @@ def tiled_backward(
         num_scalar_prefetch=nsp,
         grid=(cap,),
         in_specs=(
-            [
-                pl.BlockSpec((GROWS, block_e), row_map),
-                pl.BlockSpec((1, block_e), row_map),
-            ]
+            [pl.BlockSpec((GROWS, block_e), row_map)]
             + [pl.BlockSpec((SROWS, block_n), col_map0_m(m))
-               for m in range(span)]
-            + [pl.BlockSpec((1, block_n), col_map0_m(m))
                for m in range(span)]
             + [pl.BlockSpec((block_n, K * C), col_map_r_m(m))
                for m in range(span)]
@@ -897,5 +929,5 @@ def tiled_backward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NOUT, Ep), jnp.float32),
         interpret=_interpret(),
-    )(*operands, geom, ent_tile, *([s_sorted] * span), *([s_tile] * span),
-      *([ct] * span), *([ct_t] * span))
+    )(*operands, geom, *([s_sorted] * span), *([ct] * span),
+      *([ct_t] * span))

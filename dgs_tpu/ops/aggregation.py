@@ -520,9 +520,9 @@ def plan_pallas_sharded(cfg: SamplerConfig, means, radii, n_shards: int,
     return cfg, AggPlan(rect=gplan.rect, **caps), ranges
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7),
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8),
                    static_argnames=("plan", "block_n", "block_e",
-                                    "tile_range"))
+                                    "tile_range", "compute_totals"))
 def preprocess_pallas(
     cfg: SamplerConfig,
     means: jnp.ndarray,   # (P, D)
@@ -532,6 +532,7 @@ def preprocess_pallas(
     block_n: int = 32,
     block_e: int = 128,
     tile_range: Optional[Tuple[int, int]] = None,
+    compute_totals: bool = True,
 ) -> AggBinning:
     """Build the Pallas aggregation structure (jit-compatible, static caps
     from plan_pallas).  Replaces findCollisions + preprocess
@@ -619,11 +620,19 @@ def preprocess_pallas(
     # period=None: entries are pre-shifted to the periodic image their tile
     # sees, so the raw offset IS the minimum-image displacement for every
     # same-tile pair (compact footprints; see aggregate_pallas docstring).
-    tot = kagg.totals(
-        D, None, (aux_f, col_f), ent_geo, ctr_pre,
-        block_n=block_n, block_e=block_e,
-    )
-    inv_tot = 1.0 / (tot + 1e-6)
+    # ``compute_totals=False`` leaves the column at 1.0 for the
+    # fused-totals mode (aggregate_pallas(fused_totals=True) re-derives the
+    # totals from its own forward sweep every call - the per-training-step
+    # configuration, since the reference's preprocess also recomputes them
+    # each step).
+    if compute_totals:
+        tot = kagg.totals(
+            D, None, (aux_f, col_f), ent_geo, ctr_pre,
+            block_n=block_n, block_e=block_e,
+        )
+        inv_tot = 1.0 / (tot + 1e-6)
+    else:
+        inv_tot = jnp.ones((Cp, 1), jnp.float32)
     ctr_static = jnp.concatenate([ctr_pre[:, :-1], inv_tot], axis=1)
 
     # Sentinel Cp (not 0) for centers absent from this structure - only
@@ -653,6 +662,7 @@ def aggregate_pallas(
     block_n: int = 32, block_e: int = 128,
     ladder_frequencies: bool = False,
     padded_outputs: bool = False,
+    fused_totals: bool = False,
 ) -> jnp.ndarray:
     """Forward aggregation through the Pallas kernels; differentiable in all
     six parameter groups (the reference's contract,
@@ -707,42 +717,59 @@ def aggregate_pallas(
             [distance_transform, frequencies[:nfreq]])[None, :]
         return ent_fk, ctr_geo, dtf
 
-    @jax.custom_vjp
-    def raw_pre(features, queries, keys, frequencies, distance_transform,
-                ent_gid, ent_geo, ctr_static, cid, pos,
-                wf_aux, wf_col, wb_aux, wb_col):
+    def _fwd_scaled(features, queries, keys, frequencies, distance_transform,
+                    ent_gid, ent_geo, ctr_static, cid, wf_aux, wf_col):
+        """Forward sweep + per-center inv_total.  In fused mode the totals
+        ride the SAME pair sweep (kernels/aggregate.forward with_totals) and
+        the normalization is applied outside - every center's row is linear
+        in its inv_total; the structure's inv_tot column is 1.0."""
         ent_fk, ctr_geo, dtf = _gather(
             features, queries, keys, frequencies, distance_transform,
             ent_gid, ctr_static, cid)
-        return kagg.forward(
-            D, L, K, nfreq, period, (wf_aux, wf_col), ent_geo,
-            ent_fk, ctr_geo, dtf, block_n=block_n, block_e=block_e,
-            ladder=ladder_frequencies,
-        )
-
-    def raw_pre_fwd(features, queries, keys, frequencies, distance_transform,
-                    ent_gid, ent_geo, ctr_static, cid, pos,
-                    wf_aux, wf_col, wb_aux, wb_col):
-        ent_fk, ctr_geo, dtf = _gather(
-            features, queries, keys, frequencies, distance_transform,
-            ent_gid, ctr_static, cid)
+        if fused_totals:
+            pre_u, tot = kagg.forward(
+                D, L, K, nfreq, period, (wf_aux, wf_col),
+                ent_geo, ent_fk, ctr_geo, dtf, block_n=block_n,
+                block_e=block_e, ladder=ladder_frequencies, with_totals=True,
+            )
+            # Headroom chunks beyond the used total get no work item; their
+            # rows are uninitialized HBM - zero them before the reciprocal.
+            tot = jnp.where((cid < P)[:, None], tot, 0.0)
+            inv_tot = 1.0 / (tot + 1e-6)
+            return pre_u * inv_tot, inv_tot, ent_fk, ctr_geo, dtf
         pre = kagg.forward(
             D, L, K, nfreq, period, (wf_aux, wf_col), ent_geo,
             ent_fk, ctr_geo, dtf, block_n=block_n, block_e=block_e,
             ladder=ladder_frequencies,
         )
+        return pre, ctr_static[:, D + 2:D + 3], ent_fk, ctr_geo, dtf
+
+    @jax.custom_vjp
+    def raw_pre(features, queries, keys, frequencies, distance_transform,
+                ent_gid, ent_geo, ctr_static, cid, pos,
+                wf_aux, wf_col, wb_aux, wb_col):
+        return _fwd_scaled(features, queries, keys, frequencies,
+                           distance_transform, ent_gid, ent_geo, ctr_static,
+                           cid, wf_aux, wf_col)[0]
+
+    def raw_pre_fwd(features, queries, keys, frequencies, distance_transform,
+                    ent_gid, ent_geo, ctr_static, cid, pos,
+                    wf_aux, wf_col, wb_aux, wb_col):
+        pre, inv_tot, ent_fk, ctr_geo, dtf = _fwd_scaled(
+            features, queries, keys, frequencies, distance_transform,
+            ent_gid, ent_geo, ctr_static, cid, wf_aux, wf_col)
         # Residuals: the gathered operand layouts (re-gathering ~3x the
         # parameter rows costs more than the HBM they hold) + the structure
         # arrays the backward consumes.
-        return pre, (ent_fk, ctr_geo, dtf, frequencies,
+        return pre, (ent_fk, ctr_geo, dtf, frequencies, inv_tot,
                      ent_gid, ent_geo, ctr_static, pos, wb_aux, wb_col)
 
     def raw_pre_bwd(res, g):
-        (ent_fk, ctr_geo, dtf, frequencies,
+        (ent_fk, ctr_geo, dtf, frequencies, inv_tot,
          ent_gid, ent_geo, ctr_static, pos, wb_aux, wb_col) = res
         # Every center's contribution is linear in its inv_total: fold it
         # into the cotangent so the backward kernels never touch it.
-        g = g * ctr_static[:, D + 2:D + 3]              # (Cp, L)
+        g = g * inv_tot                                 # (Cp, L)
         gsum = jnp.sum(g, axis=1, keepdims=True)
         dent, slab = kagg.backward(
             D, L, K, nfreq, period, (wb_aux, wb_col), ent_geo,

@@ -54,7 +54,7 @@ class ChunkedSamples(NamedTuple):
     """Chunk-padded sample side - parameter-independent, built once per
     sample set (the analogue of binning.grid.SampleBinning)."""
 
-    s_coords: jnp.ndarray  # (D, Nsp) padded tile-sorted coords
+    s_coords: jnp.ndarray  # (1+D, Nsp) f32 tile row + padded sorted coords
     s_tile: jnp.ndarray    # (1, Nsp) int32, 2**30+1 on pad slots
     pos: jnp.ndarray       # (N,) padded slot of each original sample
     cm: jnp.ndarray        # (T,) sample chunks per tile
@@ -150,11 +150,16 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     # config - the same predicate sample_chunked_multi uses); the wrapped
     # case doesn't compute or store it.
     prep_sep = cfg.unwrapped_kernels or cfg.period is None
+    # Row 0 of both sample operands is the f32 tile row (the pair mask
+    # rides the parameter DMA - kernels/tiled.prepare_samples).
+    tile_f = ktiled.sample_tile_row(s_tile)
     return ChunkedSamples(
-        s_coords=coords, s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
+        s_coords=jnp.concatenate([tile_f, coords], axis=0),
+        s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
         ctile=ctile,
-        mono=(ktiled.sample_monomials(cfg, coords, s_tile, D)
-              if prep_sep else None),
+        mono=(jnp.concatenate(
+            [tile_f, ktiled.sample_monomials(cfg, coords, s_tile, D)],
+            axis=0) if prep_sep else None),
         overflow=s_of,
     )
 
@@ -261,7 +266,11 @@ def sample_chunked_multi(
             ent = ent[:, :npar].at[:, :D].add(-cfg.period * k.astype(ent.dtype))
         if prep_sep:
             ent = ktiled.separable_extend(cfg, ent, tile_pad, D)
-        return gid_pad, tile_pad, ent.T, Ep
+        # Row 0 is the f32 tile row: the pair mask rides the parameter DMA
+        # (see kernels/tiled.prepare_entries).
+        geom = jnp.concatenate(
+            [ktiled.entry_tile_row(tile_pad), ent.T], axis=0)
+        return gid_pad, tile_pad, geom, Ep
 
     smp = (cs.mono if prep_sep else cs.s_coords, cs.s_tile, Nsp)
     fwd_tile_local = prep_sep and not separable

@@ -183,3 +183,41 @@ def test_ladder_frequencies_recurrence(rng, D):
     db_ref = jax.grad(base_loss(False))(base)
     db_got = jax.grad(base_loss(True))(base)
     np.testing.assert_allclose(db_got, db_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_totals_matches_separate_totals_sweep(rng):
+    """aggregate_pallas(fused_totals=True) over a structure built with
+    compute_totals=False derives the per-center total densities from its
+    OWN forward sweep (kernels/aggregate.forward with_totals) and must
+    match the separate-totals-sweep path in values and all six gradients -
+    the per-training-step configuration when the Gaussian means move (the
+    reference recomputes total densities in every preprocess too,
+    aggregate_neighbors.cu:120-125)."""
+    D, L, K, nfreq = 2, 4, 3, 2
+    means, covs, conics, params = _setup(rng, 50, D, L, K, nfreq)
+    cfg = SamplerConfig()
+    rad = compute_radii(covs, D, cfg.radius_sigma, cfg.eig_floor)
+    cfg2, plan = aggregation.plan_pallas(cfg, means, rad)
+    agg = aggregation.preprocess_pallas(cfg2, means, conics, rad, plan)
+    aggF = aggregation.preprocess_pallas(cfg2, means, conics, rad, plan,
+                                         compute_totals=False)
+
+    def fn(structure, fused):
+        def run(p):
+            return aggregation.aggregate_pallas(
+                p["features"], p["transform"], p["queries"], p["keys"],
+                p["frequencies"], p["distance_transform"], structure,
+                fused_totals=fused,
+            )
+        return run
+
+    out_ref, g_ref = _outputs_and_grads(fn(agg, False), params)
+    out_got, g_got = _outputs_and_grads(fn(aggF, True), params)
+    np.testing.assert_allclose(
+        out_got, out_ref, rtol=1e-4,
+        atol=1e-5 * max(1.0, float(np.abs(out_ref).max())))
+    for k in sorted(g_ref):
+        r, g = np.asarray(g_ref[k]), np.asarray(g_got[k])
+        np.testing.assert_allclose(
+            g, r, rtol=2e-4, atol=2e-5 * max(1.0, float(np.abs(r).max())),
+            err_msg=f"dL/d{k}")
