@@ -51,6 +51,25 @@ inline double radius_from_cov(const float* cov, int D, double radius_sigma,
   return radius_sigma * std::sqrt(std::max(0.0, lam));
 }
 
+// Per-axis AABB radii (oracle/dense.py radii_axis): tight bounding box of
+// the same sigma ellipsoid; culling (det == 0 -> all axes 0) follows the
+// scalar radius.  Writes D values into out; returns the scalar radius.
+inline double radius_axes(const float* cov, int D, double radius_sigma,
+                          double eig_floor, double* out) {
+  double r = radius_from_cov(cov, D, radius_sigma, eig_floor);
+  static const int diag1[1] = {0};
+  static const int diag2[2] = {0, 2};
+  static const int diag3[3] = {0, 3, 5};
+  const int* diag = D == 1 ? diag1 : (D == 2 ? diag2 : diag3);
+  for (int d = 0; d < D; ++d) {
+    out[d] = r <= 0.0
+                 ? 0.0
+                 : radius_sigma *
+                       std::sqrt(std::max(0.0, (double)cov[diag[d]]));
+  }
+  return r;
+}
+
 }  // namespace
 
 extern "C" {
@@ -76,6 +95,7 @@ int dgs_plan_capacities(
     double tile_size, int32_t periodic,
     double radius_sigma, double eig_floor,
     int32_t block_n, int32_t block_e, int32_t block_e_b, int32_t block_n_b,
+    int32_t axis_radii,
     int64_t* out) {
   if (D < 1 || D > 3 || P < 0 || N < 0) return 1;
   const double lower[3] = {lower0, lower1, lower2};
@@ -102,8 +122,12 @@ int dgs_plan_capacities(
 
   int64_t total_entries = 0, max_extent = 0, culled = 0;
   for (int64_t p = 0; p < P; ++p) {
-    double rad = radius_from_cov(covariances + p * tri, D, radius_sigma,
-                                 eig_floor);
+    double rax[3];
+    double rad = axis_radii
+                     ? radius_axes(covariances + p * tri, D, radius_sigma,
+                                   eig_floor, rax)
+                     : radius_from_cov(covariances + p * tri, D,
+                                       radius_sigma, eig_floor);
     if (rad <= 0.0) {
       ++culled;
       continue;
@@ -112,8 +136,9 @@ int dgs_plan_capacities(
     int64_t lo[3], hi[3];
     for (int d = 0; d < D; ++d) {
       double m = means[p * D + d];
-      lo[d] = (int64_t)std::floor((m - lower[d] - rad) / tile_size);
-      hi[d] = (int64_t)std::ceil((m - lower[d] + rad) / tile_size);
+      double rd = axis_radii ? rax[d] : rad;
+      lo[d] = (int64_t)std::floor((m - lower[d] - rd) / tile_size);
+      hi[d] = (int64_t)std::ceil((m - lower[d] + rd) / tile_size);
       if (!periodic) {
         lo[d] = std::min(std::max(lo[d], (int64_t)0), grid[d]);
         hi[d] = std::min(std::max(hi[d], (int64_t)0), grid[d]);

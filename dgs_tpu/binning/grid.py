@@ -56,8 +56,9 @@ class BinningState(NamedTuple):
     #   (carried as sort payload - re-gathering 1M rows by s_perm costs more
     #    than moving the coordinates through the sort)
     # Per-Gaussian culling radius (exposed like reference radii,
-    # sample_points.cu:54: zero radius = culled).
-    radii: jnp.ndarray        # (P,) float32
+    # sample_points.cu:54: zero radius = culled).  (P,) scalar box, or
+    # (P, D) per-axis AABB under cfg.axis_radii.
+    radii: jnp.ndarray        # (P,) or (P, D) float32
     # Diagnostics (0 = binning exact): Gaussians whose footprint exceeds the
     # per-axis duplicate cap R, and valid entries dropped by the compacted
     # entry capacity.
@@ -106,13 +107,17 @@ def gaussian_rects(cfg: SamplerConfig, means: jnp.ndarray, radii: jnp.ndarray):
     (they wrap modulo the grid at emission, sampler_impl.cu:89-116); open mode
     clamps to [0, grid].  Zero radius -> empty rect (culled Gaussian,
     forward.cu:41-42, duplicateWithKeys radii>0 check sampler_impl.cu:69).
+
+    ``radii`` may be scalar per Gaussian (P,) - the reference's isotropic
+    sqrt(lambda_max) box - or per-axis (P, D) (cfg.axis_radii: the tight
+    AABB of the same sigma ellipsoid, oracle.dense.radii_axis).
     """
     P, D = means.shape
     cfg = cfg.with_dims(D)
     grid, _, _ = _grid_info(cfg, D)
     lower = jnp.asarray(cfg.lower, means.dtype)
     g = jnp.asarray(grid, jnp.int32)
-    r = radii[:, None]
+    r = radii if radii.ndim == 2 else radii[:, None]
     lo = jnp.floor((means - lower - r) / cfg.tile_size).astype(jnp.int32)
     hi = jnp.ceil((means - lower + r) / cfg.tile_size).astype(jnp.int32)
     if cfg.period is None:
@@ -123,7 +128,7 @@ def gaussian_rects(cfg: SamplerConfig, means: jnp.ndarray, radii: jnp.ndarray):
     full = (hi - lo) >= g
     lo = jnp.where(full, 0, lo)
     hi = jnp.where(full, g, hi)
-    empty = (radii <= 0.0)[:, None]
+    empty = jnp.any(r <= 0.0, axis=-1, keepdims=True)
     hi = jnp.where(empty, lo, hi)
     return lo, hi
 
@@ -305,7 +310,12 @@ def build(
     cfg = cfg.with_dims(D)
     R = cfg.max_tiles_per_gaussian
 
-    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    if cfg.axis_radii:
+        from ..oracle.dense import radii_axis
+
+        rad = radii_axis(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    else:
+        rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
     (ent_gid, ent_tile, ent_start, overflow,
      entry_overflow) = duplicate_entries(
         cfg, means, rad, R, entry_capacity(cfg, P, R)

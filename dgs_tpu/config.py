@@ -83,6 +83,14 @@ class SamplerConfig:
     # basis.  None = per-D auto inside the sampling ops (requires wrap-free
     # pair math either way); True/False force it where legal.
     moment_backward: Optional[bool] = None
+    # Per-axis footprint radii (oracle.dense.radii_axis): bin each Gaussian
+    # by the TIGHT axis-aligned bounding box of its radius_sigma-sigma
+    # ellipsoid instead of the reference's looser isotropic
+    # sqrt(lambda_max) box (forward.cu:52-61).  Same support, fewer
+    # duplicates/pairs on anisotropic fields (measured -23% pairs / -27%
+    # entries at the D=3 operating point).  Off by default for exact
+    # reference rect semantics.
+    axis_radii: bool = False
 
     # Pallas block sizes (tunable; defaults from the on-chip sweep at the
     # 100k-Gaussian / 1M-sample operating point, tools/sweep_blocks.py).

@@ -218,10 +218,13 @@ def prepare_samples(state: BinningState, samples, block_n: int,
     tile_f = sample_tile_row(s_tile)
     mono = None
     if separable:
+        # Tile row LAST: the monomial rows keep their sublane-aligned
+        # offsets for the moment/separable contractions (an offset slice
+        # forces a per-vreg sublane shift).
         mono = jnp.concatenate(
-            [tile_f, sample_monomials(cfg.with_dims(D), s_sorted, s_tile, D)],
-            axis=0)
-    s_sorted = jnp.concatenate([tile_f, s_sorted], axis=0)
+            [sample_monomials(cfg.with_dims(D), s_sorted, s_tile, D),
+             tile_f], axis=0)
+    s_sorted = jnp.concatenate([s_sorted, tile_f], axis=0)
     return s_sorted, s_tile, Np, mono
 
 
@@ -363,14 +366,15 @@ def _separable_G_a(geom_ref, mono_ref, D, C, flip):
     per-pair VPU chains of power_terms.  ``flip`` selects the (BN, BP)
     backward orientation.  Returns (power, a) WITHOUT the PSD mask.
 
-    Row 0 of both operands is the tile row (prepare_entries /
-    prepare_samples); all parameter rows sit one below their logical index.
+    Row 0 of the geom operand is its tile row (prepare_entries), so every
+    geom row sits one below its logical index; the monomial operand keeps
+    its rows at their aligned offsets (its tile row rides LAST).
     """
     tri = tri_size(D)
     MP = 1 + D
     NP0 = 1 + D + tri + C
-    M1 = mono_ref[1:1 + MP, :]
-    M2 = mono_ref[1 + MP:1 + MP + tri, :]
+    M1 = mono_ref[0:MP, :]
+    M2 = mono_ref[MP:MP + tri, :]
     ub = geom_ref[NP0:NP0 + MP, :]
     conr = geom_ref[1 + D:1 + D + tri, :]
     if flip:
@@ -434,11 +438,10 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
             Xs = [None] * D
         elif tile_local:
             # The samples operand is the monomial matrix (moment-form
-            # backward prep): xl rides rows [2, 2+D) (below the tile row
-            # and the ones row) and geom means are tile-local, so
-            # X = mu_l - xl wrap-free on the VPU.
+            # backward prep): xl rides rows [1, 1+D) and geom means are
+            # tile-local, so X = mu_l - xl wrap-free on the VPU.
             Xs = [
-                geom_ref[1 + d, :][:, None] - samples_ref[2 + d, :][None, :]
+                geom_ref[1 + d, :][:, None] - samples_ref[1 + d, :][None, :]
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
@@ -446,14 +449,17 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
             Xs = [
                 formulas.wrap(
                     geom_ref[1 + d, :][:, None]
-                    - samples_ref[1 + d, :][None, :],
+                    - samples_ref[d, :][None, :],
                     period,
                 )
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
+        # Pair mask: geom tile row (row 0) vs the sample operand's tile row
+        # (LAST: index mono_rows for the monomial operand, D for coords).
+        srow_t = mono_rows(D) if (separable or tile_local) else D
         G = G * (
-            geom_ref[0, :][:, None] == samples_ref[0, :][None, :]
+            geom_ref[0, :][:, None] == samples_ref[srow_t, :][None, :]
         ).astype(jnp.float32)
         values_t = geom_ref[1 + D + tri:1 + D + tri + C, :]  # (C, BP)
         accs = []
@@ -505,21 +511,22 @@ def tiled_forward(
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
-    # All operands carry the f32 tile row at row 0 (prepare_entries /
-    # prepare_samples), so every logical row count is +1.
+    # The geom operand carries its f32 tile row at row 0 (+1 row); the
+    # sample operand carries its tile row LAST (monomial rows keep their
+    # aligned offsets), so SROWS spans through that last row.
     if separable:
         NPARAM = 1 + n_params(D, C) + sep_rows(D)
-        SROWS = 1 + mono_rows(D)
+        SROWS = mono_rows(D) + 1
     elif tile_local:
-        # Separable-extended operands, per-pair VPU math: read only the
-        # base parameter rows and the [tile, 1, xl] head of the monomial
-        # matrix.
+        # Separable-extended geom, per-pair VPU math: read only the base
+        # parameter rows; the sample operand must span to its LAST (tile)
+        # row, so the monomial prefix saving does not apply here.
         def _pref(want, full):
             blk = _round_up(want, 8)
             return blk if blk < full else full
         NPARAM = _pref(1 + n_params(D, C),
                        1 + n_params(D, C) + sep_rows(D))
-        SROWS = _pref(2 + D, 1 + mono_rows(D))
+        SROWS = mono_rows(D) + 1
     else:
         NPARAM = 1 + n_params(D, C)
         SROWS = 1 + D
@@ -599,14 +606,13 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
     def _compute_one(samples_ref, ct_ref, ct_t_ref):
         con = [geom_ref[1 + D + t, :][None, :] for t in range(tri)]
         if separable or moments:
-            # X from the monomial x_l rows (below the tile and ones rows)
-            # and the tile-local mean rows
+            # X from the monomial x_l rows and the tile-local mean rows
             # (X = mu_l - x_l == mu' - x for every same-tile pair).
             # power/a stay on the VPU here: the (BN, BP) orientation would
             # need transposed-lhs MXU dots, measured +14 ms/step at the D=3
             # operating point (the forward's (BP, BN) orientation wins -4).
             Xs = [
-                geom_ref[1 + d, :][None, :] - samples_ref[2 + d, :][:, None]
+                geom_ref[1 + d, :][None, :] - samples_ref[1 + d, :][:, None]
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
@@ -614,14 +620,16 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
             Xs = [
                 formulas.wrap(
                     geom_ref[1 + d, :][None, :]
-                    - samples_ref[1 + d, :][:, None],
+                    - samples_ref[d, :][:, None],
                     period,
                 )
                 for d in range(D)
             ]
             G, a = formulas.power_terms(Xs, con)
+        # Geom tile row is row 0; the sample operand's tile row rides LAST.
+        srow_t = mono_rows(D) if (separable or moments) else D
         G = G * (
-            samples_ref[0, :][:, None] == geom_ref[0, :][None, :]
+            samples_ref[srow_t, :][:, None] == geom_ref[0, :][None, :]
         ).astype(jnp.float32)
         values_t = geom_ref[1 + D + tri:1 + D + tri + C, :]  # (C, BP)
 
@@ -714,9 +722,9 @@ def _moment_rows(orders, D, mono_ref, con, G, a, hs, lap_polys, third_polys):
     MP = 1 + D
 
     def mom(V, rows):
-        # (rows, BN) @ (BN, BP) with fp32 accumulate; the monomial basis
-        # starts at row 1 (row 0 is the tile row).
-        return jnp.dot(mono_ref[1:1 + rows, :], V,
+        # (rows, BN) @ (BN, BP) with fp32 accumulate (monomial rows sit at
+        # their aligned offsets; the tile row rides last).
+        return jnp.dot(mono_ref[0:rows, :], V,
                        preferred_element_type=jnp.float32)
 
     def zrow(n, like):
@@ -865,10 +873,10 @@ def tiled_backward(
     sep_prep = separable or moments
     GROWS = (_prefix(1 + NPARAM, 1 + NPARAM + sep_rows(D)) if sep_prep
              else 1 + NPARAM)
-    # The moment path contracts against the FULL monomial basis (incl. the
-    # quadratic rows); the plain separable path reads only [tile, 1, xl].
-    SROWS = (1 + mono_rows(D) if moments
-             else _prefix(2 + D, 1 + mono_rows(D)) if sep_prep else 1 + D)
+    # The sample operand's tile row rides LAST (monomial rows keep their
+    # aligned offsets), so SROWS spans the full operand in sep/moment
+    # modes.
+    SROWS = (mono_rows(D) + 1 if sep_prep else 1 + D)
     tri = tri_size(D)
     cap = aux.shape[0]
     NB = Np // block_n

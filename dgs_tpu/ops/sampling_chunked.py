@@ -54,7 +54,7 @@ class ChunkedSamples(NamedTuple):
     """Chunk-padded sample side - parameter-independent, built once per
     sample set (the analogue of binning.grid.SampleBinning)."""
 
-    s_coords: jnp.ndarray  # (1+D, Nsp) f32 tile row + padded sorted coords
+    s_coords: jnp.ndarray  # (D+1, Nsp) padded sorted coords + f32 tile row
     s_tile: jnp.ndarray    # (1, Nsp) int32, 2**30+1 on pad slots
     pos: jnp.ndarray       # (N,) padded slot of each original sample
     cm: jnp.ndarray        # (T,) sample chunks per tile
@@ -85,6 +85,7 @@ def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
     from ..binning import chunked
     from ..binning import grid as binning
     from ..oracle.dense import radii as compute_radii
+    from ..oracle.dense import radii_axis
 
     import dataclasses
 
@@ -92,7 +93,8 @@ def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
     cfg = cfg.with_dims(D)
     bn = block_n or cfg.block_n
     be = block_e or cfg.block_p
-    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    rad = (radii_axis if cfg.axis_radii else compute_radii)(
+        covariances, D, cfg.radius_sigma, cfg.eig_floor)
     # Compact-support certificate for the wrap-free kernels (identical to
     # utils.native.plan_capacities): with every footprint satisfying
     # max_radius + tile < period/2, per-entry period-shifted means make the
@@ -150,15 +152,16 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     # config - the same predicate sample_chunked_multi uses); the wrapped
     # case doesn't compute or store it.
     prep_sep = cfg.unwrapped_kernels or cfg.period is None
-    # Row 0 of both sample operands is the f32 tile row (the pair mask
-    # rides the parameter DMA - kernels/tiled.prepare_samples).
+    # The f32 tile row rides LAST in both sample operands (the pair mask
+    # rides the parameter DMA; monomial/coord rows keep their aligned
+    # offsets - kernels/tiled.prepare_samples).
     tile_f = ktiled.sample_tile_row(s_tile)
     return ChunkedSamples(
-        s_coords=jnp.concatenate([tile_f, coords], axis=0),
+        s_coords=jnp.concatenate([coords, tile_f], axis=0),
         s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
         ctile=ctile,
         mono=(jnp.concatenate(
-            [tile_f, ktiled.sample_monomials(cfg, coords, s_tile, D)],
+            [ktiled.sample_monomials(cfg, coords, s_tile, D), tile_f],
             axis=0) if prep_sep else None),
         overflow=s_of,
     )
@@ -343,10 +346,12 @@ def sample_chunked(cfg, means, values, conics, covariances, samples,
     """Binned-evaluation entry point matching sample_binned's contract:
     (outputs dict, diagnostics dict), radii derived from covariances."""
     from ..oracle.dense import radii as compute_radii
+    from ..oracle.dense import radii_axis
 
     D = means.shape[1]
     cfg = cfg.with_dims(D)
-    rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    rad = (radii_axis if cfg.axis_radii else compute_radii)(
+        covariances, D, cfg.radius_sigma, cfg.eig_floor)
     outs, diag = sample_chunked_multi(
         tuple(orders), cfg, means, values, conics, rad, cs, plan,
         block_n=cfg.block_n, block_e=cfg.block_p,

@@ -101,3 +101,22 @@ def radii(covariances: jnp.ndarray, D: int, radius_sigma: float = 3.0,
         lam = q + 2.0 * p * jnp.cos(phi)
         return radius_sigma * jnp.sqrt(jnp.maximum(lam, 0.0))
     raise ValueError(f"unsupported D={D}")
+
+
+def radii_axis(covariances: jnp.ndarray, D: int, radius_sigma: float = 3.0,
+               eig_floor: float = 1e-6) -> jnp.ndarray:
+    """(P, D) per-axis footprint radii: the tight axis-aligned bounding box
+    of the radius_sigma-sigma ellipsoid has half-width
+    radius_sigma * sqrt(cov_dd) along axis d (always <= the scalar
+    radius_sigma * sqrt(lambda_max) bound the reference uses,
+    forward.cu:52-61 - a strictly tighter box around the SAME support, so
+    anisotropic fields emit fewer duplicates and pair candidates).  Culling
+    (det == 0 -> zero radius) matches ``radii``: culled rows are zero on
+    every axis."""
+    from ..config import tri_index
+
+    diag = jnp.stack(
+        [covariances[:, tri_index(D, d, d)] for d in range(D)], axis=1)
+    r = radius_sigma * jnp.sqrt(jnp.maximum(diag, 0.0))
+    culled = radii(covariances, D, radius_sigma, eig_floor) <= 0.0
+    return jnp.where(culled[:, None], 0.0, r)

@@ -101,7 +101,14 @@ class GaussianSampler:
                 covariances, samples,
             )
             self.state = state
-            self.radii = state.radii
+            # Aggregation (preprocess_aggregate) consumes SCALAR collision
+            # radii (aggregate_neighbors.cu:28); under cfg.axis_radii the
+            # binning carries per-axis rects, so keep the scalar form here.
+            from .oracle.dense import radii as compute_radii
+
+            self.radii = (state.radii if state.radii.ndim == 1 else
+                          compute_radii(covariances, D, cfg.radius_sigma,
+                                        cfg.eig_floor))
             if self.debug:
                 rect_of = int(jax.device_get(state.overflow))
                 ent_of = int(jax.device_get(state.entry_overflow))

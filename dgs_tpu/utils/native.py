@@ -106,6 +106,7 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
             ctypes.c_double(cfg.radius_sigma), ctypes.c_double(cfg.eig_floor),
             ctypes.c_int32(bn), ctypes.c_int32(be),
             ctypes.c_int32(bbe), ctypes.c_int32(bbn),
+            ctypes.c_int32(1 if cfg.axis_radii else 0),
             out,
         )
         if rc == 0:
@@ -173,7 +174,8 @@ def _plan_capacities_numpy(cfg, means, covs, smps, bn, be, bbn, bbe) -> dict:
             "max_tile_samples": int(s_counts.max(initial=0)),
             "work_blocks_fwd": int(fn_np.max(initial=0)),
             "work_blocks_bwd": int(bn_np.max(initial=0)),
-            "culled": int((rad <= 0).sum()),
+            "culled": int((rad <= 0).all(axis=-1).sum() if rad.ndim == 2
+                          else (rad <= 0).sum()),
             "occupied_tiles": int(len(tiles)),
             "work_items_fwd": int(np.maximum(fn_np, 1).sum()),
             "work_items_bwd": int(np.maximum(bn_np, 1).sum()),

@@ -455,3 +455,45 @@ def test_span_packed_work_items_match_span1(rng):
                                           np.asarray(o2[k]))
         for a, b in zip(g1, g2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("D", [2, 3])
+def test_axis_radii_binning_matches_masked_oracle(rng, D):
+    """cfg.axis_radii bins by the tight per-axis AABB of the 3-sigma
+    ellipsoid (oracle.radii_axis) - a strict subset of the isotropic
+    sqrt(lambda_max) rects covering the same support.  The kernels must
+    match the oracle restricted to the axis-rect pair mask, and the per-axis
+    rects must never reach outside the isotropic ones."""
+    import dataclasses
+
+    cfg = SamplerConfig(max_tiles_per_gaussian=8, axis_radii=True,
+                        eig_floor=1e-12).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 43, 67, D)
+    state = binning.build(cfg, m, cov, s)
+    assert state.radii.shape == (43, D)
+    r_iso = oracle.radii(cov, D, cfg.radius_sigma, cfg.eig_floor)
+    assert bool(jnp.all(state.radii <= r_iso[:, None] + 1e-6))
+
+    # Axis-rect covered tile SETS are contained in the isotropic ones
+    # (compare wrapped sets - the raw index ranges differ representationally
+    # when an isotropic rect collapses to a full cover).
+    lo_a, hi_a = map(np.asarray, binning.gaussian_rects(cfg, m, state.radii))
+    lo_i, hi_i = map(np.asarray, binning.gaussian_rects(cfg, m, r_iso))
+    g = cfg.grid_shape()
+    for p in range(lo_a.shape[0]):
+        for d in range(D):
+            ta = {t % g[d] for t in range(lo_a[p, d], hi_a[p, d])}
+            ti = {t % g[d] for t in range(lo_i[p, d], hi_i[p, d])}
+            assert ta <= ti, (p, d, ta, ti)
+
+    state2, fg, bg, fw, bw = _build(cfg, m, cov, s)
+    mask = binning.pair_mask_dense(cfg, state2, s, 43)
+    outs = sampling.sample_tiled_multi(
+        ("value", "laplacian"), cfg, m, v, c, s, state2, fg, bg, fw, bw,
+        block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+    )
+    for order, got in zip(("value", "laplacian"), outs):
+        ref = oracle.evaluate(order, m, v, c, s, pair_mask=mask)
+        np.testing.assert_allclose(
+            got, ref, rtol=3e-4,
+            atol=1e-5 * max(1.0, float(np.abs(ref).max())), err_msg=order)

@@ -212,10 +212,11 @@ def main():
         prep(cfg, None, field.means, cov, con, field.values, samples))
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
-    # prepare_entries/prepare_samples now carry the f32 tile row at row 0;
-    # this tool's kernels use the separate int tile operands, so strip it.
+    # prepare_entries carries the f32 tile row at row 0, prepare_samples
+    # LAST; this tool's kernels use the separate int tile operands, so
+    # strip them.
     geom = geom[1:]
-    s_sorted = s_sorted[1:]
+    s_sorted = s_sorted[:-1]
     # The value rows ride inside geom (prepare_entries packs means, conics,
     # values); this tool's row-major forward wants them as a (Ep, C) operand.
     vals = geom[D + tri_size(D):D + tri_size(D) + C].T

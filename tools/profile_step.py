@@ -55,6 +55,7 @@ def main():
                          else os.environ["BENCH_MOMENTS"] == "1"),
         work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 1)),
         work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 1)),
+        axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked

@@ -106,7 +106,10 @@ def main():
         for bn, be in blocks:
             cfg = SamplerConfig(
                 tile_size=tile, max_tiles_per_gaussian=3, eig_floor=1e-12,
-                block_n=bn, block_p=be, block_n_bwd=bn, block_p_bwd=be)
+                block_n=bn, block_p=be, block_n_bwd=bn, block_p_bwd=be,
+                axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+                work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 1)),
+                work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 1)))
             try:
                 with jax.default_device(cpu):
                     cfg, cplan = sampling_chunked.plan_chunked(
