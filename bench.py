@@ -50,7 +50,9 @@ def main():
     method = os.environ.get("BENCH_METHOD", "chunked" if D == 3 else "tiled")
     # Tile default tuned on-chip per D (D=3 footprints cover more tiles per
     # Gaussian; a coarser grid balances entry count vs pair density).
-    tile = float(os.environ.get("BENCH_TILE", {2: 0.051, 3: 0.25}.get(D, 0.1)))
+    # D=3: tile 0.2 with axis radii (round-4 sweep: 152.6 vs 158.3 ms at
+    # 0.25; finer tiles lose - chunk-padding density and per-entry costs).
+    tile = float(os.environ.get("BENCH_TILE", {2: 0.051, 3: 0.2}.get(D, 0.1)))
     C = int(os.environ.get("BENCH_C", 4))
 
     # sigma ~ 2/P^(1/D): footprints a few tiles wide at 100k Gaussians.

@@ -41,7 +41,10 @@ def main():
     # ---- Phase A: PIGS PDE training at 100k ----
     skip_a = os.environ.get("T100K_SKIP_A")
     cfg = SamplerConfig(tile_size=float(os.environ.get("T100K_TILE", 0.051)),
-                        eig_floor=1e-12)
+                        eig_floor=1e-12,
+                        axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+                        work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 2)),
+                        work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 2)))
     if not skip_a:
         t0 = time.perf_counter()
         state, history = pigs.train(
