@@ -95,9 +95,11 @@ def main():
         moment_backward=(None if "BENCH_MOMENTS" not in os.environ
                          else os.environ["BENCH_MOMENTS"] == "1"),
         # Multi-block work items (kernels/tiled.work_list span): amortize
-        # the fixed per-grid-step cost over span column sub-blocks.
-        work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 1)),
-        work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 1)),
+        # the fixed per-grid-step cost over span column sub-blocks.  Round-4
+        # A/B: span 2 wins at D=2 (-1.6 ms), neutral at D=3 (compute-bound
+        # kernels); large shards need span to keep work lists inside SMEM.
+        work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 2 if D == 2 else 1)),
+        work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 2 if D == 2 else 1)),
         # Tight per-axis AABB footprints (oracle.dense.radii_axis): same
         # 3-sigma support, fewer duplicates/pairs on anisotropic fields
         # (-23% pairs at the D=3 operating point).  BENCH_AXIS=0 restores

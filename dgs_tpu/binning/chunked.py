@@ -153,4 +153,8 @@ def row_sweeps(m_row, m_col, row_base, col_base, chunk_tile_row, colmax: int,
     starts = istart[t] + (rc - row_base[t]) * mi[t]
     base_c = jnp.clip(
         col_base[t], 0, jnp.maximum(colmax - (mi[t] - 1) * span - 1, 0))
-    return base_c.astype(jnp.int32), starts.astype(jnp.int32)
+    # Per-row live column count (the compressed form's span live-count
+    # source; kernels derive lcnt = clip(ncols - off*span, 0, span)).
+    ncols = m_col[t]
+    return (base_c.astype(jnp.int32), starts.astype(jnp.int32),
+            ncols.astype(jnp.int32))

@@ -342,6 +342,14 @@ def span_capacity(cap: int, n_rows: int, span: int) -> int:
     return max(-(-(cap + (span - 1) * n_rows) // span), n_rows)
 
 
+def _use_compressed(cap: int, span: int) -> bool:
+    """Switch to the compressed work-list form when the per-item scalars
+    would crowd the ~1MB SMEM: the uncompressed form carries 8 bytes/item
+    (aux, col) at span=1 and 12 (aux, col, lcnt) at span>1; compressed
+    carries 4 (aux) plus per-ROW scalars."""
+    return cap * (12 if span > 1 else 8) > 8 * COMPRESS_ABOVE
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -393,7 +401,7 @@ def _separable_G_a(geom_ref, mono_ref, D, C, flip):
 
 
 def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
-                       n_prefetch, *refs):
+                       compressed, n_prefetch, *refs):
     """Pair arrays are (BP entries, BN samples): entries ride the sublanes so
     the outputs land lane-major (K*C, BN) - a (N, K*C) layout would pad its
     24 columns to 128 lanes in HBM (5x physical traffic on every read and
@@ -408,9 +416,12 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
     geom ref per sub-block); the per-item live count gates each sub-block's
     compute.  Row 0 of the geom and sample operands is the f32 tile row
     (prepare_entries / prepare_samples) - the pair mask rides the parameter
-    DMAs instead of separate (1, block) operands."""
+    DMAs instead of separate (1, block) operands.
+
+    Live-count source at span > 1: per-item ``lcnt`` scalars in the
+    uncompressed form; derived from the per-ROW (starts, nblk) scalars in
+    the compressed form (12 bytes/item would crowd SMEM)."""
     aux_ref = refs[0]
-    lcnt_ref = refs[n_prefetch - 1] if span > 1 else None
     rest = refs[n_prefetch:]
     geom_refs = rest[0:span]
     samples_ref = rest[span]
@@ -476,7 +487,11 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
         def _compute():
             _compute_one(geom_refs[0])
     else:
-        lc = lcnt_ref[w]
+        if compressed:
+            r = a_w >> 2
+            lc = jnp.clip(refs[3][r] - (w - refs[2][r]) * span, 0, span)
+        else:
+            lc = refs[2][w]
         for m in range(span):
             @pl.when(m < lc)
             def _compute_m(m=m):
@@ -505,9 +520,10 @@ def tiled_forward(
     treat any work-list overflow as invalid results.
 
     ``span`` packs that many consecutive entry blocks per work item (the
-    work list must be built with the same span).
+    work list must be built with the same span); ``wl`` carries the per-row
+    nblk vector as its 6th element (compressed live-count derivation).
     """
-    aux, col, base_c, starts, lcnt = wl
+    aux, col, base_c, starts, lcnt, nblk = wl
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
@@ -534,8 +550,11 @@ def tiled_forward(
     cap = aux.shape[0]
     EB = Ep // block_e
 
-    if cap > COMPRESS_ABOVE:
+    compressed = _use_compressed(cap, span)
+    if compressed:
         operands = (aux, base_c, starts)
+        if span > 1:
+            operands = operands + (nblk,)
 
         def col_map_m(m):
             def col_map(w, a, b, s, *l):
@@ -547,6 +566,8 @@ def tiled_forward(
             return (0, a[w] >> 2)
     else:
         operands = (aux, col)
+        if span > 1:
+            operands = operands + (lcnt,)
 
         def col_map_m(m):
             def col_map(w, a, c, *l):
@@ -556,8 +577,6 @@ def tiled_forward(
         def row_map(w, a, c, *l):
             return (0, a[w] >> 2)
 
-    if span > 1:
-        operands = operands + (lcnt,)
     nsp = len(operands)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -573,7 +592,7 @@ def tiled_forward(
 
     return pl.pallas_call(
         functools.partial(_wl_forward_kernel, orders, period, D, C,
-                          separable, tile_local, span, nsp),
+                          separable, tile_local, span, compressed, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
@@ -586,9 +605,8 @@ def tiled_forward(
 
 
 def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
-                        n_prefetch, *refs):
+                        compressed, n_prefetch, *refs):
     aux_ref = refs[0]
-    lcnt_ref = refs[n_prefetch - 1] if span > 1 else None
     rest = refs[n_prefetch:]
     geom_ref = rest[0]
     samples_refs = rest[1:1 + span]
@@ -678,7 +696,11 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
         def _compute():
             _compute_one(samples_refs[0], ct_refs[0], ct_t_refs[0])
     else:
-        lc = lcnt_ref[w]
+        if compressed:
+            r = a_w >> 2
+            lc = jnp.clip(refs[3][r] - (w - refs[2][r]) * span, 0, span)
+        else:
+            lc = refs[2][w]
         for m in range(span):
             @pl.when(m < lc)
             def _compute_m(m=m):
@@ -851,8 +873,9 @@ def tiled_backward(
     means invalid results (callers check the diagnostics).
 
     ``span`` packs that many consecutive sample blocks per work item (the
-    work list must be built with the same span)."""
-    aux, col, base_c, starts, lcnt = wl
+    work list must be built with the same span); ``wl`` carries the per-row
+    nblk vector as its 6th element (compressed live-count derivation)."""
+    aux, col, base_c, starts, lcnt, nblk = wl
     gid, ent_tile, geom, Ep = ent
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
@@ -881,8 +904,11 @@ def tiled_backward(
     cap = aux.shape[0]
     NB = Np // block_n
 
-    if cap > COMPRESS_ABOVE:
+    compressed = _use_compressed(cap, span)
+    if compressed:
         operands = (aux, base_c, starts)
+        if span > 1:
+            operands = operands + (nblk,)
 
         def _col(m):
             def colf(w, a, b, s, *l):
@@ -902,6 +928,8 @@ def tiled_backward(
             return (0, a[w] >> 2)
     else:
         operands = (aux, col)
+        if span > 1:
+            operands = operands + (lcnt,)
 
         def col_map0_m(m):
             return lambda w, a, c, *l: (0, jnp.minimum(c[w] + m, NB - 1))
@@ -912,8 +940,6 @@ def tiled_backward(
         def row_map(w, a, c, *l):
             return (0, a[w] >> 2)
 
-    if span > 1:
-        operands = operands + (lcnt,)
     nsp = len(operands)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -933,7 +959,7 @@ def tiled_backward(
 
     return pl.pallas_call(
         functools.partial(_wl_backward_kernel, orders, period, D, C,
-                          separable, moments, span, nsp),
+                          separable, moments, span, compressed, nsp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NOUT, Ep), jnp.float32),
         interpret=_interpret(),

@@ -281,8 +281,10 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     fn = _pad_axis(fn, 0, NB_f)
     bb = jnp.clip(_pad_axis(bb, 0, EB_b), 0, NB_b - 1)
     bn = _pad_axis(bn, 0, EB_b)
-    wl_f = ktiled.work_list(fb, fn, EB_f, fwd_work_items, span=fwd_span)
-    wl_b = ktiled.work_list(bb, bn, NB_b, bwd_work_items, span=bwd_span)
+    wl_f = ktiled.work_list(fb, fn, EB_f, fwd_work_items, span=fwd_span)[:5] \
+        + (fn,)
+    wl_b = ktiled.work_list(bb, bn, NB_b, bwd_work_items, span=bwd_span)[:5] \
+        + (bn,)
 
     if not sorted_outputs:
         inv = jnp.zeros((N,), jnp.int32).at[state.s_perm].set(
@@ -311,7 +313,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         ent = ktiled.prepare_entries(state, m, v, c, align_e, cfg=cfg,
                                      separable=prep_sep)
         return ktiled.tiled_forward(
-            orders, kernel_period, D, C, wl_f[:5], ent, smp,
+            orders, kernel_period, D, C, wl_f, ent, smp,
             block_n=block_n, block_e=block_e, separable=separable,
             tile_local=fwd_tile_local, span=fwd_span,
         )                     # (K*C, Np); columns >= N are zero
@@ -326,7 +328,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         # the (Np, K*C) orientation (in-kernel transposed-lhs dots measure
         # slower than one outside transpose).
         dent = ktiled.tiled_backward(
-            orders, kernel_period, D, C, wl_b[:5], ent, smp, g.T, g,
+            orders, kernel_period, D, C, wl_b, ent, smp, g.T, g,
             block_n=bwd_block_n, block_e=bwd_block_e, separable=separable,
             moments=moments, span=bwd_span,
         )

@@ -221,12 +221,12 @@ def sample_chunked_multi(
     # Per-row-chunk (base, start) scalars: the kernels switch to the
     # compressed (4 bytes/item) work-list form above COMPRESS_ABOVE, which
     # keeps config-5-scale shards (16M samples) inside scalar SMEM.
-    fbase, fstarts = chunked.row_sweeps(
+    fbase, fstarts, fncols = chunked.row_sweeps(
         cs.cm, em, cs.cbase, ebase, cs.ctile, plan.e_chunks, span=span_f)
-    bbase, bstarts = chunked.row_sweeps(
+    bbase, bstarts, bncols = chunked.row_sweeps(
         em, cs.cm, ebase, cs.cbase, echunk_tile, plan.s_chunks, span=span_b)
-    wl_f = (aux_f, col_f, fbase, fstarts, lcnt_f)
-    wl_b = (aux_b, col_b, bbase, bstarts, lcnt_b)
+    wl_f = (aux_f, col_f, fbase, fstarts, lcnt_f, fncols)
+    wl_b = (aux_b, col_b, bbase, bstarts, lcnt_b, bncols)
 
     # Entries are pre-shifted to their periodic image (prepare_entries
     # semantics), so the kernels run wrap-free when the config certifies

@@ -447,14 +447,25 @@ def test_span_packed_work_items_match_span1(rng):
         return outs, jax.grad(loss, argnums=(0, 1, 2))(m, v, c)
 
     o1, g1 = run(base)
-    for sf, sb in [(2, 2), (4, 3)]:
-        o2, g2 = run(dataclasses.replace(
-            base, work_span_fwd=sf, work_span_bwd=sb))
-        for k in o1:
-            np.testing.assert_array_equal(np.asarray(o1[k]),
-                                          np.asarray(o2[k]))
-        for a, b in zip(g1, g2):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    from dgs_tpu.kernels import tiled as ktiled
+
+    limit = ktiled.COMPRESS_ABOVE
+    try:
+        for compress in (False, True):
+            # Force the compressed (per-row scalars) work-list form too:
+            # at span > 1 it derives the live count from (starts, nblk).
+            ktiled.COMPRESS_ABOVE = 0 if compress else limit
+            for sf, sb in [(2, 2), (4, 3)]:
+                o2, g2 = run(dataclasses.replace(
+                    base, work_span_fwd=sf, work_span_bwd=sb))
+                for k in o1:
+                    np.testing.assert_array_equal(np.asarray(o1[k]),
+                                                  np.asarray(o2[k]))
+                for a, b in zip(g1, g2):
+                    np.testing.assert_array_equal(np.asarray(a),
+                                                  np.asarray(b))
+    finally:
+        ktiled.COMPRESS_ABOVE = limit
 
 
 @pytest.mark.parametrize("D", [2, 3])
