@@ -152,6 +152,7 @@ def _dotg(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
 
 
@@ -161,6 +162,7 @@ def _dot_nt(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
 
 
@@ -172,6 +174,7 @@ def _dot_tn(a, b):
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
 
 

@@ -85,7 +85,8 @@ def _forward_body(orders, period, D, C,
         for k, w in enumerate(comps):
             # (BN, BP) @ (BP, C) on the MXU; fp32 accumulation (config.h:20).
             out_refs[k0 + k][...] += jnp.dot(
-                w, values, preferred_element_type=jnp.float32
+                w, values, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH
             )
         k0 += len(comps)
 

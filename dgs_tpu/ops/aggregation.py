@@ -330,7 +330,8 @@ def aggregate(
         nbr_keys = keys[idx]
 
     # Attention weight w_ij = <query_i, key_j>  (lines 173-176).
-    w = jnp.einsum("pk,pnk->pn", queries, nbr_keys)
+    w = jnp.einsum("pk,pnk->pn", queries, nbr_keys,
+                   precision=jax.lax.Precision.HIGH)
 
     # Sinusoidal positional code of the normalized offset (lines 178-193).
     # Accumulated per (dim, frequency) term over (P, NC) arrays - a single
@@ -350,10 +351,12 @@ def aggregate(
 
     # Density-normalized attention (lines 198-206).
     coeff = nbr.inv_total_densities[:, None] * nbr.densities * w * valid
-    pre = jnp.einsum("pn,pnl->pl", coeff * factor, nbr_features) + (
+    pre = jnp.einsum("pn,pnl->pl", coeff * factor, nbr_features,
+                     precision=jax.lax.Precision.HIGH) + (
         (coeff * embedding).sum(axis=1, keepdims=True)
     )
-    return jnp.einsum("pj,jk->pk", pre, transform)
+    return jnp.einsum("pj,jk->pk", pre, transform,
+                      precision=jax.lax.Precision.HIGH)
 
 
 
@@ -825,7 +828,8 @@ def aggregate_pallas(
     # their output rows are uninitialized HBM - mask them out before they can
     # poison the transform matmul (NaN garbage times a zero cotangent is NaN).
     pre = jnp.where((agg.cid < P)[:, None], pre, 0.0)
-    out_pad = jnp.einsum("cl,lk->ck", pre, transform)   # (Cp, K=L)
+    out_pad = jnp.einsum("cl,lk->ck", pre, transform,
+                         precision=jax.lax.Precision.HIGH)  # (Cp, K=L)
     if padded_outputs:
         # Raw per-slot rows (slot c is center agg.cid[c]; pad slots carry
         # zero coefficients) - the model-parallel shard form scatters these

@@ -49,7 +49,8 @@ def _forward_impl(orders, period, means, values, conics, samples):
     for order in orders:
         comps = formulas.components(order, Xs, con, G, a)
         W = jnp.stack(comps, axis=1)  # (N, k, P)
-        out = jnp.einsum("nkp,pc->nkc", W, values)
+        out = jnp.einsum("nkp,pc->nkc", W, values,
+                         precision=jax.lax.Precision.HIGH)
         outs.append(out.reshape(out_shape(order, N, D, C)))
     return tuple(outs)
 
@@ -70,9 +71,11 @@ def _backward_impl(orders, period, means, values, conics, samples, gs):
         comps = formulas.components(order, Xs, con, G, a)
         W = jnp.stack(comps, axis=1)  # (N, k, P)
         # dL/dvalues[p,c] = sum_{n,comp} W[n,comp,p] * g[n,comp,c]
-        d_values = d_values + jnp.einsum("nkp,nkc->pc", W, g)
+        d_values = d_values + jnp.einsum("nkp,nkc->pc", W, g,
+                                         precision=jax.lax.Precision.HIGH)
         # h_comp[n,p] = sum_c values[p,c] * g[n,comp,c]   (backward.cu:122)
-        H = jnp.einsum("pc,nkc->nkp", values, g)
+        H = jnp.einsum("pc,nkc->nkp", values, g,
+                       precision=jax.lax.Precision.HIGH)
         hs = [H[:, i, :] for i in range(k)]
         dmu, dcon = formulas.vjp_params(order, Xs, con, G, a, hs)
         d_means = d_means + jnp.stack([m.sum(axis=0) for m in dmu], axis=-1)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..config import n_components, out_shape, tri_size
@@ -44,7 +45,8 @@ def evaluate(
         G = G * pair_mask.astype(G.dtype)
     comps = formulas.components(order, Xs, con, G, a)
     W = jnp.stack(comps, axis=1)  # (N, n_comp, P)
-    out = jnp.einsum("nkp,pc->nkc", W, values)
+    out = jnp.einsum("nkp,pc->nkc", W, values,
+                     precision=jax.lax.Precision.HIGH)
     return out.reshape(out_shape(order, N, D, C))
 
 
