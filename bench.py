@@ -105,6 +105,11 @@ def main():
         # (-23% pairs at the D=3 operating point).  BENCH_AXIS=0 restores
         # the reference's isotropic sqrt(lambda_max) box.
         axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+        # BENCH_SEP=0/1 forces the separable MXU pair math off/on (unset =
+        # per-D auto); the tradeoff flipped when kernel dot precision was
+        # pinned to HIGHEST.
+        separable_kernels=(None if "BENCH_SEP" not in os.environ
+                           else os.environ["BENCH_SEP"] == "1"),
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked

@@ -83,6 +83,12 @@ class SamplerConfig:
     # basis.  None = per-D auto inside the sampling ops (requires wrap-free
     # pair math either way); True/False force it where legal.
     moment_backward: Optional[bool] = None
+    # Separable MXU pair math (power and a = CX as tile-local contractions):
+    # None = per-D auto (on for wrap-free D >= 3).  The tradeoff moved when
+    # kernel dot precision was pinned (bf16x3+): the per-pair VPU chains are
+    # exact fp32 and pay no multi-pass matmul cost, so forcing False can win
+    # where the MXU form did under default-precision dots.
+    separable_kernels: Optional[bool] = None
     # Per-axis footprint radii (oracle.dense.radii_axis): bin each Gaussian
     # by the TIGHT axis-aligned bounding box of its radius_sigma-sigma
     # ellipsoid instead of the reference's looser isotropic

@@ -152,7 +152,7 @@ def _dotg(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -162,7 +162,7 @@ def _dot_nt(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -174,7 +174,7 @@ def _dot_tn(a, b):
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -86,7 +86,7 @@ def _forward_body(orders, period, D, C,
             # (BN, BP) @ (BP, C) on the MXU; fp32 accumulation (config.h:20).
             out_refs[k0 + k][...] += jnp.dot(
                 w, values, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH
+        precision=jax.lax.Precision.HIGHEST
             )
         k0 += len(comps)
 

@@ -361,7 +361,7 @@ def _dot0(lhs, rhs):
     return jax.lax.dot_general(
         lhs, rhs, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -481,7 +481,7 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
                 # (config.h:20).
                 accs.append(jnp.dot(values_t, wgt,
                                     preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH))
+        precision=jax.lax.Precision.HIGHEST))
         out_ref[...] += jnp.concatenate(accs, axis=0)  # (K*C, BN)
 
     if span == 1:
@@ -665,16 +665,23 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
                 third_polys = polys
             for k in range(nk):
                 g_nc = ct_ref[:, (k0 + k) * C:(k0 + k + 1) * C]   # (BN, C)
-                # h[n,p] = sum_c g[n,c] * values[c,p]  (backward.cu:122)
-                all_hs.append(jnp.dot(g_nc, values_t,
-                                      preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH))
+                # h[n,p] = sum_c g[n,c] * values[c,p]  (backward.cu:122).
+                # C explicit broadcast FMAs on the VPU: exact fp32, and
+                # faster than a depth-C MXU dot (whose HIGHEST-precision
+                # lowering pays 6 passes of pipeline latency on a thin
+                # contraction).
+                h = None
+                for cc in range(C):
+                    t = (g_nc[:, cc][:, None]
+                         * values_t[cc, :][None, :])
+                    h = t if h is None else h + t
+                all_hs.append(h)
                 # dL/dvalues[c,p] += sum_n g[c,n] * W_k[n,p]
                 g_t = ct_t_ref[(k0 + k) * C:(k0 + k + 1) * C, :]  # (C, BN)
                 w_k = G if isinstance(polys[k], float) else G * polys[k]
                 dv = jnp.dot(g_t, w_k,
                              preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
+        precision=jax.lax.Precision.HIGHEST)
                 dvals = dv if dvals is None else dvals + dv
             k0 += nk
         if moments:
@@ -752,7 +759,7 @@ def _moment_rows(orders, D, mono_ref, con, G, a, hs, lap_polys, third_polys):
         # their aligned offsets; the tile row rides last).
         return jnp.dot(mono_ref[0:rows, :], V,
                        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
+        precision=jax.lax.Precision.HIGHEST)
 
     def zrow(n, like):
         return jnp.zeros((n, like.shape[1]), jnp.float32)

@@ -238,6 +238,8 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     # +1.6 ms/step at D=2, so the default enables them for D >= 3 only.
     kernel_period = None if unwrapped else period
     if separable is None:
+        separable = cfg.separable_kernels
+    if separable is None:
         separable = kernel_period is None and D >= 3
     else:
         separable = separable and kernel_period is None

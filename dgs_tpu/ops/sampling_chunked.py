@@ -233,7 +233,10 @@ def sample_chunked_multi(
     # compact footprints; wrap-free D>=3 also enables the separable MXU
     # pair math (see ops/sampling.sample_tiled_multi).
     kernel_period = None if cfg.unwrapped_kernels else cfg.period
-    separable = kernel_period is None and D >= 3
+    if cfg.separable_kernels is None:
+        separable = kernel_period is None and D >= 3
+    else:
+        separable = cfg.separable_kernels and kernel_period is None
     # Moment-form backward where the coordinates are tile-local, D >= 3
     # auto default (see ops/sampling.sample_tiled_multi's A/B note);
     # cfg.moment_backward overrides.
