@@ -240,9 +240,15 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     if separable is None:
         separable = cfg.separable_kernels
     if separable is None:
-        separable = kernel_period is None and D >= 3
+        # Auto default OFF since kernel dot precision was pinned to
+        # HIGHEST (round 4): the separable MXU form won under
+        # default-precision (one-pass bf16) dots, but at 6-pass fp32-class
+        # precision the exact per-pair VPU chains are faster (D=3 chunked
+        # 255.6 vs 235.5 ms/step measured on-chip).
+        separable = False
     else:
         separable = separable and kernel_period is None
+    separable = separable and kernel_period is None
     # Moment-form backward (kernels/tiled.moment_combine): per-entry
     # parameter gradients as MXU contractions against the sample monomial
     # basis instead of per-pair VJP chains + sublane tree-reductions.
@@ -252,7 +258,10 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     # too short to pay for the doubled output rows + weight multiplies), so
     # the auto default enables it for D >= 3 only.
     if moments is None:
-        moments = kernel_period is None and D >= 3
+        # Auto default OFF under pinned dot precision (see separable note):
+        # the moment-form contractions pay 6-pass dots; the per-pair VJP is
+        # exact VPU math (D=3 chunked 255.6 -> 235.5 ms/step).
+        moments = False
     else:
         if moments and kernel_period is not None:
             import warnings

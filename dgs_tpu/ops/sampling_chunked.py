@@ -234,14 +234,18 @@ def sample_chunked_multi(
     # pair math (see ops/sampling.sample_tiled_multi).
     kernel_period = None if cfg.unwrapped_kernels else cfg.period
     if cfg.separable_kernels is None:
-        separable = kernel_period is None and D >= 3
+        # OFF by default since dot precision was pinned (see
+        # ops/sampling.sample_tiled_multi).
+        separable = False
     else:
         separable = cfg.separable_kernels and kernel_period is None
     # Moment-form backward where the coordinates are tile-local, D >= 3
     # auto default (see ops/sampling.sample_tiled_multi's A/B note);
     # cfg.moment_backward overrides.
     if cfg.moment_backward is None:
-        moments = kernel_period is None and D >= 3
+        # OFF by default under pinned dot precision (see
+        # ops/sampling.sample_tiled_multi).
+        moments = False
     else:
         if cfg.moment_backward and kernel_period is not None:
             import warnings
