@@ -86,10 +86,11 @@ def main():
         # blocks to keep the work list inside scalar SMEM.
         block_n_bwd=int(os.environ.get(
             "BENCH_BBN", 512 if N > 4_000_000 else blocks.bwd_blocks[0])),
-        # D=3 entries are ~3x denser per tile; wider backward entry blocks
-        # win there (on-chip sweep, tools/sweep_blocks.py SWEEP_D=3).
-        block_p_bwd=int(os.environ.get(
-            "BENCH_BBP", 256 if D == 3 else blocks.bwd_blocks[1])),
+        # Wider backward entry blocks amortize the pinned-precision dot
+        # passes: the post-fix D=2 re-sweep put 256x256 bwd blocks 4 ms
+        # ahead of the old 256x128 (tools/sweep_blocks.py round 4); D=3
+        # already used 256.
+        block_p_bwd=int(os.environ.get("BENCH_BBP", 256)),
         # BENCH_MOMENTS=0/1 forces the moment-form backward off/on; unset
         # keeps the per-D auto default (ops/sampling.sample_tiled_multi).
         moment_backward=(None if "BENCH_MOMENTS" not in os.environ

@@ -22,14 +22,15 @@ from dgs_tpu.models.pigs import field_outputs
 from dgs_tpu.ops import formulas
 from dgs_tpu.utils import native
 
+import os as _os
+
 COMBOS = [
-    # (block_n, block_p, block_n_bwd, block_p_bwd)
-    (512, 128, 256, 256),
-    (512, 256, 256, 256),
-    (512, 128, 512, 256),
-    (512, 256, 256, 512),
-    (1024, 256, 256, 256),
-]
+    tuple(int(x) for x in c.split("x"))
+    for c in _os.environ.get(
+        "SWEEP_COMBOS",
+        "512x128x256x256,512x256x256x256,512x128x512x256,512x256x256x512,"
+        "1024x256x256x256").split(",")
+]  # (block_n, block_p, block_n_bwd, block_p_bwd); override via SWEEP_COMBOS
 
 ORDERS = ("value", "derivative", "laplacian")
 
@@ -64,6 +65,9 @@ def main():
         cfg0 = SamplerConfig(
             tile_size=tile, max_tiles_per_gaussian=3, eig_floor=1e-12,
             block_n=bn, block_p=be, block_n_bwd=bbn, block_p_bwd=bbe,
+            axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+            work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 2)),
+            work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 2)),
         )
         plan = native.plan_capacities(cfg0, field.means, field.covariances(),
                                       samples)
