@@ -111,6 +111,23 @@ def main():
         # pinned to HIGHEST.
         separable_kernels=(None if "BENCH_SEP" not in os.environ
                            else os.environ["BENCH_SEP"] == "1"),
+        # BENCH_FOLDED=0/1 forces the folded-values kernels off/on (unset =
+        # auto ON where the wrap-free certificate holds): one G contraction
+        # per pair block instead of K per-component value dots.
+        folded_values=(None if "BENCH_FOLDED" not in os.environ
+                       else os.environ["BENCH_FOLDED"] == "1"),
+        # A/B knobs for the folded-backward variants (defaults off - the
+        # classic dvalue dots hide under the VPU-bound backward).
+        folded_dvals=(None if "BENCH_FDV" not in os.environ
+                      else os.environ["BENCH_FDV"] == "1"),
+        folded_vjp=(None if "BENCH_FVJP" not in os.environ
+                    else os.environ["BENCH_FVJP"] == "1"),
+        h_matmul=(None if "BENCH_HMM" not in os.environ
+                  else os.environ["BENCH_HMM"] == "1"),
+        # BENCH_FASTMATH=1: documented fast-math mode (one-pass bf16 MXU
+        # dots).  Outputs do NOT meet the fp32 gate - label any number
+        # measured this way.
+        fast_math_dots=os.environ.get("BENCH_FASTMATH", "0") == "1",
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked
@@ -124,6 +141,24 @@ def main():
         plan = native.plan_capacities(cfg, field.means, field.covariances(),
                                       samples)
         cfg = native.config_from_plan(cfg, plan, P)
+    # Computed roofline (utils/roofline.py): exact same-tile pair totals
+    # from one CPU binning build -> speed-of-light step-time model for the
+    # chip (SURVEY.md section 5; replaces interpreting vs_baseline as MFU).
+    from dgs_tpu.binning import grid as binning
+    from dgs_tpu.utils import roofline
+
+    with jax.default_device(cpu):
+        state_cpu = binning.build(cfg, field.means, field.covariances(),
+                                  samples)
+        pairs = roofline.pair_count(
+            jax.device_get(state_cpu.ent_tile),
+            binning.num_tiles(cfg, D), jax.device_get(state_cpu.s_tile))
+        E_cnt = int(jax.device_get(state_cpu.num_entries))
+        folded_active = bool(cfg.folded_values)
+        rl = roofline.step_roofline(ORDERS, D, C, pairs, N, E_cnt,
+                                    folded=folded_active)
+        del state_cpu
+
     dev = jax.devices()[0]
     field = jax.device_put(field, dev)
     samples = jax.device_put(samples, dev)
@@ -233,6 +268,7 @@ def main():
         "value": round(samples_per_sec, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 4),
+        "vs_speed_of_light": round(rl["sol_step_s"] / dt, 4),
     }))
     print(
         json.dumps({
@@ -242,6 +278,8 @@ def main():
                 "sigma": round(sigma, 5), "tile": tile,
                 "backend": jax.default_backend(),
                 "overflow": overflow,
+                "roofline": {k: (round(v, 6) if isinstance(v, float) else v)
+                             for k, v in rl.items()},
             }
         }),
         file=sys.stderr,

@@ -89,6 +89,45 @@ class SamplerConfig:
     # exact fp32 and pay no multi-pass matmul cost, so forcing False can win
     # where the MXU form did under default-precision dots.
     separable_kernels: Optional[bool] = None
+    # Folded-values pair kernels (kernels/tiled.folded_geom + the folded
+    # forward/backward branches): expand every component polynomial over
+    # the raw sample-monomial basis with per-entry coefficients
+    # (formulas.component_coeff_polys), so the K per-component value dots
+    # collapse into ONE G contraction per pair block and the per-pair
+    # polynomial materialization disappears.  Requires wrap-free
+    # (tile-local) pair math - the same compact-support certificate as
+    # unwrapped_kernels.  Default OFF: the pair kernels overlap VPU and
+    # MXU and the backward is VPU-bound, so the folded dot savings are
+    # largely hidden while the per-entry coefficient builds add glue
+    # (measured round 5: D=2 a wash, D=3 a regression).  A tested A/B
+    # mode; mutually exclusive with separable_kernels / moment_backward.
+    folded_values: Optional[bool] = None
+    # Folded dvalues in the backward (the beta-expanded-cotangent dot):
+    # None = size-gated auto (kernels/tiled.CT_BETA_MAX_BYTES); False
+    # forces the classic per-component dvalue dots under a folded forward.
+    folded_dvals: Optional[bool] = None
+    # Fully-folded backward (the folded-VJP kernel): S0 and the W
+    # accumulators of the fused VJP come off the MXU as ct_beta dots
+    # against per-entry coefficient rows (formulas.w_coeff_polys),
+    # eliminating the per-pair h chains and the S0/W VPU accumulation.
+    # Requires the beta-expanded cotangent (folded_dvals); None = auto by
+    # the foldw size gate in the sampling ops.
+    folded_vjp: Optional[bool] = None
+    # h = g @ values as in-kernel MXU dots instead of C broadcast FMAs in
+    # the classic backward.  Measured LOSS on-chip (47.0 -> 58.6 ms at the
+    # D=2 operating point): unlike the terminal dvalue dots (which hide
+    # fully under the VPU-bound pair math), the h dots feed the VJP chain
+    # directly, so the multi-pass MXU latency serializes with the VPU.
+    # Kept as an A/B flag; default off.
+    h_matmul: Optional[bool] = None
+    # Documented fast-math knob: run every kernel MXU dot at DEFAULT
+    # precision (ONE bf16 pass) instead of the fp32-class HIGHEST pinned in
+    # round 4.  ~0.4% relative noise in every kernel dot: outputs do NOT
+    # meet the fp32-allclose gate, so this is opt-in only and the on-chip
+    # smoke suite refuses it unless explicitly requested.  Also disables
+    # the folded-values auto default (whose monomial expansion needs
+    # fp32-class dot accuracy).
+    fast_math_dots: bool = False
     # Per-axis footprint radii (oracle.dense.radii_axis): bin each Gaussian
     # by the TIGHT axis-aligned bounding box of its radius_sigma-sigma
     # ellipsoid instead of the reference's looser isotropic

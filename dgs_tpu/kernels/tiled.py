@@ -44,6 +44,13 @@ from ..binning.grid import BinningState
 from ..ops import formulas
 from .dense import _interpret, _pad_axis, _round_up
 
+# Perf-ablation hook (tools only; static at trace time): comma list of
+# kernel pieces to skip when decomposing kernel time on-chip.
+# Pieces: "dvals" (value-gradient dots), "h" (cotangent h chains),
+# "vjp" (per-pair parameter VJP).  Results are WRONG under any ablation.
+import os as _os
+_ABLATE = set(filter(None, _os.environ.get("DGS_ABLATE", "").split(",")))
+
 
 def total_unique(orders, D: int) -> int:
     """Unique (canonical) components across the fused orders - the kernels
@@ -69,8 +76,31 @@ def mono_rows(D: int) -> int:
     return 1 + D + tri_size(D)
 
 
+def folded_geom(cfg, ent, tile, D: int, C: int, orders, fold_meta,
+                vjp: bool = False):
+    """Folded-values entry operands: tile-local geom with alpha rows plus
+    the separate (A*C, Ep) fold array (the forward's single-dot lhs).
+
+    geom rows: [tile(1), mu_l(D), con(tri), values(C), alpha(A)] - the
+    forward reads only the [tile, mu_l, con] prefix (+ the fold operand),
+    the backward the full array (values feed the h chains, alpha the folded
+    dvalues recombination).  Sentinel entries' garbage tile centers are
+    harmless: their gid hits the zero parameter row and the tile row (-1.0)
+    masks every pair."""
+    from ..binning import grid as binning
+
+    centers = binning.tile_centers(cfg, tile.reshape(-1), D)   # (Ep, D)
+    ent_local = ent.at[:, :D].set(ent[:, :D] - centers)
+    alpha, fold, foldw = build_folded(orders, D, C, ent_local, fold_meta,
+                                      vjp=vjp)
+    geom = jnp.concatenate(
+        [entry_tile_row(tile), ent_local.T, alpha], axis=0)
+    return geom, fold, foldw
+
+
 def prepare_entries(state: BinningState, means, values, conics, block_e: int,
-                    cfg=None, separable: bool = False):
+                    cfg=None, separable: bool = False,
+                    folded=None, fold_meta=None, folded_vjp: bool = False):
     """Entry-ordered packed parameters, padded to a block multiple.
 
     One row gather builds (Ep, D+tri+C); the transpose is the lane-major
@@ -131,12 +161,16 @@ def prepare_entries(state: BinningState, means, values, conics, block_e: int,
     if period is not None:
         k = binning.image_shift(cfg.with_dims(D), tile, ent[:, D + tri + C:])
         ent = ent[:, :D + tri + C].at[:, :D].add(-period * k.astype(ent.dtype))
+    if folded is not None:
+        geom, fold, foldw = folded_geom(cfg.with_dims(D), ent, tile, D, C,
+                                        folded, fold_meta, vjp=folded_vjp)
+        return gid, tile, geom, Ep, fold, foldw
     if separable:
         ent = separable_extend(cfg.with_dims(D), ent, tile, D)
     tile_f = entry_tile_row(tile)
     # (1 + NPARAM[+sep_rows], Ep) lane-major; row 0 is the tile row.
     geom = jnp.concatenate([tile_f, ent.T], axis=0)
-    return gid, tile, geom, Ep
+    return gid, tile, geom, Ep, None
 
 
 def entry_tile_row(tile) -> jnp.ndarray:
@@ -201,8 +235,123 @@ def sample_monomials(cfg, s_coords, s_tile, D: int):
     )
 
 
+def sample_monomials_raw(cfg, s_coords, s_tile, D: int, deg: int):
+    """Raw monomial matrix of the folded-values kernels: rows follow
+    formulas.monomials_upto(D, deg) ([1, x_l, x_i x_j, x_i x_j x_k] in
+    tile-local coordinates), invalid (sentinel-tile) columns zeroed in the
+    x rows so every product stays finite.  The degree-1 rows sit at 1..D -
+    the kernels read tile-local x from them (no separate coords operand)."""
+    from ..binning import grid as binning
+    from ..ops import formulas
+
+    T = binning.num_tiles(cfg, D)
+    Np = s_coords.shape[1]
+    centers = binning.tile_centers(cfg, s_tile.reshape(-1), D)  # (Np, D)
+    valid = (s_tile.reshape(-1) < T)[None, :]
+    xl = jnp.where(valid, s_coords - centers.T, 0.0)            # (D, Np)
+    rows = []
+    for e in formulas.monomials_upto(D, deg):
+        if sum(e) == 0:
+            rows.append(jnp.ones((1, Np), jnp.float32))
+            continue
+        r = None
+        for d, p in enumerate(e):
+            for _ in range(p):
+                r = xl[d] if r is None else r * xl[d]
+        rows.append(r[None, :])
+    return jnp.concatenate(rows, axis=0)
+
+
+def fold_rows(fold_meta, C: int):
+    """(dense row count R, 8-padded row count R8) of the folded layout."""
+    R = C * sum(len(m) for m in fold_meta)
+    return R, _round_up(R, 8)
+
+
+def fold_row_table(fold_meta, C: int):
+    """(comp k, basis-monomial index m) -> first (c=0) row in the folded
+    (k, i, c) row layout (fold / ct_beta / Zd rows)."""
+    table = {}
+    off = 0
+    for k, mrows in enumerate(fold_meta):
+        for m in mrows:
+            table[(k, m)] = off
+            off += C
+    return table
+
+
+def _pad_rows8(x, mult: int = 8):
+    # The folded-VJP mode pads the folded row dimension to a full lane
+    # multiple (128): it rides as the LANE axis of the transposed
+    # beta-expanded cotangent blocks, and sub-128 lane dims lower terribly.
+    return _pad_axis(x, 0, _round_up(x.shape[0], mult))
+
+
+def build_folded(orders, D: int, C: int, ent_local, fold_meta,
+                 vjp: bool = False):
+    """Per-entry rows of the folded-values scheme (formulas
+    .component_coeff_polys): returns (alpha (A, Ep), fold (R8, Ep),
+    foldw (D*R8, Ep) or None).
+
+    ``ent_local`` is the (Ep, NPARAM) entry-parameter array with TILE-LOCAL
+    means (rows [mu_l, con, values]); alpha rows are the component
+    polynomials' monomial coefficients in (component-major, basis-sorted)
+    order matching ``fold_meta`` (formulas.folded_structure), and
+    fold[(k,i)*C + c] = values[c] * alpha[(k,i)] - the lhs of the kernels'
+    single G contraction (zero-padded to a sublane multiple so the
+    backward's per-l foldw slices stay aligned).
+
+    With ``vjp`` the W-accumulator coefficient rows ride along:
+    foldw[l*R8 + row(k,i,c)] = values[c] * W_l-coeff(k, monomial i)
+    (formulas.w_coeff_polys) - the rhs of the backward's W dots."""
+    from ..ops import formulas
+
+    tri = tri_size(D)
+    Ep = ent_local.shape[0]
+    mu = [ent_local[:, d] for d in range(D)]
+    con = [ent_local[:, D + t] for t in range(tri)]
+    values_t = ent_local[:, D + tri:D + tri + C].T       # (C, Ep)
+    polys = formulas.component_coeff_polys(orders, D, mu, con)
+    deg = max(formulas.ORDER_DEGREE[o] for o in orders)
+    basis = formulas.monomials_upto(D, deg)
+
+    def row(c):
+        return (jnp.full((Ep,), c, jnp.float32)
+                if not hasattr(c, "shape") else c)
+
+    rows = []
+    for p, mrows in zip(polys, fold_meta):
+        for m in mrows:
+            rows.append(row(p[basis[m]]))
+    alpha = jnp.stack(rows, axis=0)                      # (A, Ep)
+    mult = 128 if vjp else 8
+    fold = _pad_rows8(
+        (alpha[:, None, :] * values_t[None, :, :]).reshape(-1, Ep), mult)
+    foldw = None
+    if vjp:
+        table = fold_row_table(fold_meta, C)
+        wps = formulas.w_coeff_polys(orders, D, mu, con)
+        zero = jnp.zeros((Ep,), jnp.float32)
+        wrows = []
+        for l in range(D):
+            acoef = [dict() for _ in range(len(fold_meta))]
+            for (k, e), c in wps[l].items():
+                acoef[k][e] = c
+            arows = []
+            for k, mrows in zip(range(len(fold_meta)), fold_meta):
+                for m in mrows:
+                    c = acoef[k].get(basis[m])
+                    arows.append(zero if c is None else row(c))
+            aw = jnp.stack(arows, axis=0)                # (A, Ep)
+            wl = (aw[:, None, :] * values_t[None, :, :]).reshape(-1, Ep)
+            wrows.append(_pad_rows8(wl, mult))
+        foldw = jnp.concatenate(wrows, axis=0)           # (D*R8, Ep)
+    return alpha, fold, foldw
+
+
 def prepare_samples(state: BinningState, samples, block_n: int,
-                    cfg=None, separable: bool = False):
+                    cfg=None, separable: bool = False,
+                    folded_deg: Optional[int] = None):
     """Padded tile-sorted sample coordinates (+ the separable kernels' tile-
     local monomial matrix; parameter-independent, so hoistable with the
     sample binning).  Returns (s_sorted, s_tile, Np, mono-or-None); row 0 of
@@ -217,7 +366,13 @@ def prepare_samples(state: BinningState, samples, block_n: int,
     s_tile = jnp.where(jnp.arange(Np)[None, :] >= N, jnp.int32(2**30 + 1), s_tile)
     tile_f = sample_tile_row(s_tile)
     mono = None
-    if separable:
+    if folded_deg is not None:
+        # Raw monomial basis for the folded-values kernels (tile row LAST,
+        # as below).
+        mono = jnp.concatenate(
+            [sample_monomials_raw(cfg.with_dims(D), s_sorted, s_tile, D,
+                                  folded_deg), tile_f], axis=0)
+    elif separable:
         # Tile row LAST: the monomial rows keep their sublane-aligned
         # offsets for the moment/separable contractions (an offset slice
         # forces a per-vreg sublane shift).
@@ -355,17 +510,30 @@ def _use_compressed(cap: int, span: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _dot0(lhs, rhs):
+def _dot0(lhs, rhs, precision=jax.lax.Precision.HIGHEST):
     """(k, A) x (k, B) -> (A, B), contracting the leading (sublane) axis of
     both operands on the MXU."""
     return jax.lax.dot_general(
         lhs, rhs, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
-def _separable_G_a(geom_ref, mono_ref, D, C, flip):
+def dot_precision(cfg) -> jax.lax.Precision:
+    """Kernel matmul precision: fp32-class (HIGHEST; Mosaic only lowers
+    DEFAULT/HIGHEST) unless the documented fast-math knob is on.  DEFAULT
+    runs one bf16 MXU pass (~0.4% relative noise in every kernel dot) -
+    outputs do NOT meet the fp32-allclose gate; the on-chip smoke suite
+    refuses it unless explicitly requested (round-4 PRECISION FINDING,
+    BASELINE.md)."""
+    if getattr(cfg, "fast_math_dots", False):
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
+def _separable_G_a(geom_ref, mono_ref, D, C, flip,
+                   precision=jax.lax.Precision.HIGHEST):
     """MXU evaluation of the pair quadratic form and a = C X.
 
     With tile-local coordinates (prepare_entries/prepare_samples):
@@ -387,22 +555,27 @@ def _separable_G_a(geom_ref, mono_ref, D, C, flip):
     ub = geom_ref[NP0:NP0 + MP, :]
     conr = geom_ref[1 + D:1 + D + tri, :]
     if flip:
-        power = _dot0(M1, ub) + _dot0(M2, conr)
+        power = (_dot0(M1, ub, precision)
+                 + _dot0(M2, conr, precision))
         a = [
-            _dot0(M1, geom_ref[NP0 + MP * (1 + d):NP0 + MP * (2 + d), :])
+            _dot0(M1, geom_ref[NP0 + MP * (1 + d):NP0 + MP * (2 + d), :],
+                  precision)
             for d in range(D)
         ]
     else:
-        power = _dot0(ub, M1) + _dot0(conr, M2)
+        power = (_dot0(ub, M1, precision)
+                 + _dot0(conr, M2, precision))
         a = [
-            _dot0(geom_ref[NP0 + MP * (1 + d):NP0 + MP * (2 + d), :], M1)
+            _dot0(geom_ref[NP0 + MP * (1 + d):NP0 + MP * (2 + d), :], M1,
+                  precision)
             for d in range(D)
         ]
     return power, a
 
 
 def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
-                       compressed, n_prefetch, *refs):
+                       compressed, n_prefetch, folded, n_mono, precision,
+                       *refs):
     """Pair arrays are (BP entries, BN samples): entries ride the sublanes so
     the outputs land lane-major (K*C, BN) - a (N, K*C) layout would pad its
     24 columns to 128 lanes in HBM (5x physical traffic on every read and
@@ -425,8 +598,14 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
     aux_ref = refs[0]
     rest = refs[n_prefetch:]
     geom_refs = rest[0:span]
-    samples_ref = rest[span]
-    out_ref = rest[span + 1]
+    if folded is not None:
+        fold_refs = rest[span:2 * span]
+        samples_ref = rest[2 * span]
+        out_ref = rest[2 * span + 1]
+    else:
+        fold_refs = [None] * span
+        samples_ref = rest[span]
+        out_ref = rest[span + 1]
     w = pl.program_id(0)
     a_w = aux_ref[w]
 
@@ -434,11 +613,47 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    def _compute_one(geom_ref):
+    def _compute_folded(geom_ref, fold_ref):
+        # Folded-values form: ONE (R, BP) @ (BP, BN) dot whose rhs is the
+        # masked G alone (per-entry coefficient x values rows carry all the
+        # component/polynomial structure - formulas.component_coeff_polys),
+        # then a cheap per-component monomial recombination on the VPU.
+        # Replaces K thin value dots AND the per-pair polynomial
+        # materialization; the multi-pass precision premium is paid once.
+        tri = tri_size(D)
+        con = [geom_ref[1 + D + t, :][:, None] for t in range(tri)]
+        Xs = [
+            geom_ref[1 + d, :][:, None] - samples_ref[1 + d, :][None, :]
+            for d in range(D)
+        ]
+        G, _ = formulas.power_terms(Xs, con)
+        G = G * (
+            geom_ref[0, :][:, None] == samples_ref[n_mono, :][None, :]
+        ).astype(jnp.float32)
+        Z = jnp.dot(fold_ref[...], G,
+                    preferred_element_type=jnp.float32,
+                    precision=precision)              # (R, BN)
+        off = 0
+        accs = []
+        for mrows in folded:
+            acc = None
+            for m in mrows:
+                slab = Z[off:off + C, :]
+                t = slab if m == 0 else slab * samples_ref[m, :][None, :]
+                acc = t if acc is None else acc + t
+                off += C
+            accs.append(acc)
+        out_ref[...] += jnp.concatenate(accs, axis=0)  # (K*C, BN)
+
+    def _compute_one(geom_ref, fold_ref=None):
+        if folded is not None:
+            _compute_folded(geom_ref, fold_ref)
+            return
         tri = tri_size(D)
         con = [geom_ref[1 + D + t, :][:, None] for t in range(tri)]
         if separable:
-            power, a = _separable_G_a(geom_ref, samples_ref, D, C, flip=False)
+            power, a = _separable_G_a(geom_ref, samples_ref, D, C,
+                                      flip=False, precision=precision)
             # The MXU-evaluated power has entry-scale cancellation: a pair
             # with X ~ 0 (G ~ 1, the largest contribution) can see power go
             # spuriously positive by ~1e-6 roundoff where the backward's
@@ -476,18 +691,27 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
         values_t = geom_ref[1 + D + tri:1 + D + tri + C, :]  # (C, BP)
         accs = []
         for order in orders:
-            for wgt in formulas.components_unique(order, Xs, con, G, a):
+            if "fpolys" in _ABLATE:
+                comps = [G] * formulas.n_unique(order, D)
+            else:
+                comps = formulas.components_unique(order, Xs, con, G, a)
+            for wgt in comps:
+                if "fdots" in _ABLATE:
+                    accs.append(wgt[0:C, :] if wgt.shape[0] >= C
+                                else jnp.broadcast_to(wgt[0:1, :],
+                                                      (C, wgt.shape[1])))
+                    continue
                 # (C, BP) @ (BP, BN) on the MXU; fp32 accumulation
                 # (config.h:20).
                 accs.append(jnp.dot(values_t, wgt,
                                     preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST))
+                                    precision=precision))
         out_ref[...] += jnp.concatenate(accs, axis=0)  # (K*C, BN)
 
     if span == 1:
         @pl.when((a_w & 1) != 0)
         def _compute():
-            _compute_one(geom_refs[0])
+            _compute_one(geom_refs[0], fold_refs[0])
     else:
         if compressed:
             r = a_w >> 2
@@ -497,7 +721,7 @@ def _wl_forward_kernel(orders, period, D, C, separable, tile_local, span,
         for m in range(span):
             @pl.when(m < lc)
             def _compute_m(m=m):
-                _compute_one(geom_refs[m])
+                _compute_one(geom_refs[m], fold_refs[m])
 
 
 def tiled_forward(
@@ -513,6 +737,9 @@ def tiled_forward(
     separable: bool = False,
     tile_local: bool = False,
     span: int = 1,
+    folded=None,
+    n_mono: int = 0,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Packed lane-major (K*C, Np) outputs in tile-sorted sample order.
 
@@ -526,13 +753,23 @@ def tiled_forward(
     nblk vector as its 6th element (compressed live-count derivation).
     """
     aux, col, base_c, starts, lcnt, nblk = wl
-    gid, ent_tile, geom, Ep = ent
+    gid, ent_tile, geom, Ep = ent[:4]
+    fold = ent[4] if len(ent) > 4 else None
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     # The geom operand carries its f32 tile row at row 0 (+1 row); the
     # sample operand carries its tile row LAST (monomial rows keep their
     # aligned offsets), so SROWS spans through that last row.
-    if separable:
+    if folded is not None:
+        # The folded forward reads only the [tile, mu_l, con] geom prefix
+        # (values/alpha rows are backward-only); the fold array is its own
+        # operand.  Raw monomial sample operand, tile row LAST.
+        def _pref(want, full):
+            blk = _round_up(want, 8)
+            return blk if blk < full else full
+        NPARAM = _pref(1 + D + tri_size(D), geom.shape[0])
+        SROWS = n_mono + 1
+    elif separable:
         NPARAM = 1 + n_params(D, C) + sep_rows(D)
         SROWS = mono_rows(D) + 1
     elif tile_local:
@@ -581,12 +818,19 @@ def tiled_forward(
 
     nsp = len(operands)
 
+    fold_specs, fold_ops = [], []
+    if folded is not None:
+        fold_specs = [pl.BlockSpec((fold.shape[0], block_e), col_map_m(m))
+                      for m in range(span)]
+        fold_ops = [fold] * span
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nsp,
         grid=(cap,),
         in_specs=(
             [pl.BlockSpec((NPARAM, block_e), col_map_m(m))
              for m in range(span)]
+            + fold_specs
             + [pl.BlockSpec((SROWS, block_n), row_map)]
         ),
         out_specs=pl.BlockSpec((K * C, block_n), row_map),
@@ -594,11 +838,12 @@ def tiled_forward(
 
     return pl.pallas_call(
         functools.partial(_wl_forward_kernel, orders, period, D, C,
-                          separable, tile_local, span, compressed, nsp),
+                          separable, tile_local, span, compressed, nsp,
+                          folded, n_mono, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K * C, Np), jnp.float32),
         interpret=_interpret(),
-    )(*operands, *([geom] * span), s_sorted)
+    )(*operands, *([geom] * span), *fold_ops, s_sorted)
 
 
 # ---------------------------------------------------------------------------
@@ -606,15 +851,76 @@ def tiled_forward(
 # ---------------------------------------------------------------------------
 
 
+# Above this size the beta-expanded cotangent (R, Np) is not materialized
+# (config-5-scale shards); the backward falls back to the classic
+# per-component dvalues dots.
+CT_BETA_MAX_BYTES = 2_500_000_000
+
+
+def fold_row_selectors(fold_meta, C: int):
+    """(g-row index, monomial-row index) per folded row (k, i, c) - the
+    gather indices of the beta-expanded cotangent build."""
+    gsel, msel = [], []
+    for k, mrows in enumerate(fold_meta):
+        for m in mrows:
+            for c in range(C):
+                gsel.append(k * C + c)
+                msel.append(m)
+    return gsel, msel
+
+
+def ct_beta_rows(fold_meta, C: int, g, mono, pad_mult: int = 8):
+    """Beta-expanded lane-major cotangent (R_pad, Np) for the folded
+    dvalues dot: row (k, i, c) = g[k*C + c] * raw-monomial row m(k, i) of
+    ``mono``.  Built as one row gather + one fused multiply (a per-slab
+    concatenate measured 17 ms/step at the 1M-sample operating point)."""
+    gsel, msel = fold_row_selectors(fold_meta, C)
+    R = len(gsel)
+    Rp = _round_up(R, pad_mult)
+    gsel = jnp.asarray(gsel + [0] * (Rp - R), jnp.int32)
+    msel = jnp.asarray(msel + [0] * (Rp - R), jnp.int32)
+    pad = (jnp.arange(Rp) < R).astype(jnp.float32)
+    return g[gsel] * mono[msel] * pad[:, None]
+
+
+def ct_beta_rows_t(fold_meta, C: int, g_t, mono_t, pad_mult: int = 128):
+    """The transposed twin (Np, R_pad) for the folded-VJP S0/W dots, built
+    directly from the row-major cotangent/monomials (g_t (Np, K*C),
+    mono_t (Np, M)) - no big transpose."""
+    gsel, msel = fold_row_selectors(fold_meta, C)
+    R = len(gsel)
+    Rp = _round_up(R, pad_mult)
+    gsel = jnp.asarray(gsel + [0] * (Rp - R), jnp.int32)
+    msel = jnp.asarray(msel + [0] * (Rp - R), jnp.int32)
+    pad = (jnp.arange(Rp) < R).astype(jnp.float32)
+    return g_t[:, gsel] * mono_t[:, msel] * pad[None, :]
+
+
 def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
-                        compressed, n_prefetch, *refs):
+                        compressed, n_prefetch, folded, n_mono,
+                        folded_dvals, folded_vjp, h_matmul, precision,
+                        *refs):
     aux_ref = refs[0]
     rest = refs[n_prefetch:]
     geom_ref = rest[0]
-    samples_refs = rest[1:1 + span]
-    ct_refs = rest[1 + span:1 + 2 * span]
-    ct_t_refs = rest[1 + 2 * span:1 + 3 * span]
-    dent_ref = rest[1 + 3 * span]
+    if folded_vjp:
+        # No h chains -> the cotangent arrives only beta-expanded, in BOTH
+        # layouts: cb (R8, BN) feeds the Zd/dvalues dot, cbT (BN, R8) the
+        # S0/W dots in standard lane-contraction orientation (sublane-
+        # contracted dot0s pay Mosaic relayouts - round-2 finding).
+        # fold/foldw carry the per-entry S0/W coefficient rows.
+        fold_ref = rest[1]
+        foldw_ref = rest[2]
+        samples_refs = rest[3:3 + span]
+        ct_t_refs = rest[3 + span:3 + 2 * span]
+        ct_refs = rest[3 + 2 * span:3 + 3 * span]   # cbT blocks
+        dent_ref = rest[3 + 3 * span]
+    else:
+        fold_ref = foldw_ref = None
+        samples_refs = rest[1:1 + span]
+        ct_refs = rest[1 + span:1 + 2 * span]
+        ct_t_refs = rest[1 + 2 * span:1 + 3 * span]
+        dent_ref = rest[1 + 3 * span]
     w = pl.program_id(0)
     tri = tri_size(D)
     a_w = aux_ref[w]
@@ -623,9 +929,125 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
     def _init():
         dent_ref[...] = jnp.zeros_like(dent_ref)
 
+    def _compute_one_fvjp(samples_ref, cb_ref, cbt_ref):
+        # Fully-folded backward: the cotangent arrives ONLY as the
+        # beta-expanded rows cb (R8, BN); S0 and the W_l accumulators of
+        # the fused VJP come off the MXU as sublane-contracted dots against
+        # the per-entry coefficient rows (fold = forward's lhs reused for
+        # S0 - it IS sum_k h_k q_k transposed; foldw = w_coeff_polys rows),
+        # eliminating the per-pair h chains and the S0/W VPU accumulation.
+        # The hl (laplacian) and Y (third) dcon corrections are per-ENTRY
+        # combinations of the Zd rows (the same dot that serves dvalues).
+        from ..ops.formulas import (ORDER_DEGREE, comp_flat_index,
+                                    monomials_upto, sym_indices)
+        from ..config import tri_index
+
+        con = [geom_ref[1 + D + t, :][None, :] for t in range(tri)]
+        Xs = [
+            geom_ref[1 + d, :][None, :] - samples_ref[1 + d, :][:, None]
+            for d in range(D)
+        ]
+        G, a = formulas.power_terms(Xs, con)
+        G = G * (
+            samples_ref[n_mono, :][:, None] == geom_ref[0, :][None, :]
+        ).astype(jnp.float32)
+        cb = cb_ref[...]                           # (R8, BN)
+        R8 = cb.shape[0]
+        Zd = jnp.dot(cb, G, preferred_element_type=jnp.float32,
+                     precision=precision)          # (R8, BP)
+        cbt = cbt_ref[...]                         # (BN, R8)
+        S0 = jnp.dot(cbt, fold_ref[...],
+                     preferred_element_type=jnp.float32,
+                     precision=precision)          # (BN, BP)
+        Ws = [
+            jnp.dot(cbt, foldw_ref[l * R8:(l + 1) * R8, :],
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+            for l in range(D)
+        ]
+        # dvalues from Zd + the alpha rows (same recombination as the
+        # folded_dvals path).
+        a0 = 1 + D + tri + C
+        dvals = None
+        off = 0
+        arow = 0
+        for mrows in folded:
+            for _m in mrows:
+                t = Zd[off:off + C, :] * geom_ref[a0 + arow, :][None, :]
+                dvals = t if dvals is None else dvals + t
+                off += C
+                arow += 1
+        # Per-pair VJP combine (vjp_params_fused's closed form with S0/W
+        # precomputed): dmu_d = G ((C W)_d - a_d S0); z = W - X S0/2;
+        # dcon_uv = G (X_v z_u + X_u z_v).
+        Cc = lambda i, j: con[tri_index(D, i, j)]
+        half = 0.5 * S0
+        dmu = []
+        for d in range(D):
+            md = None
+            for l in range(D):
+                t = Cc(d, l) * Ws[l]
+                md = t if md is None else md + t
+            dmu.append(G * (md - a[d] * S0))
+        z = [Ws[l] - Xs[l] * half for l in range(D)]
+        dcon = []
+        for u in range(D):
+            for v in range(u, D):
+                if u == v:
+                    dcon.append(G * (Xs[u] * z[u]))
+                else:
+                    dcon.append(G * (Xs[v] * z[u] + Xs[u] * z[v]))
+        rows = (
+            [jnp.sum(m, axis=0, keepdims=True) for m in dmu]
+            + [jnp.sum(ctn, axis=0, keepdims=True) for ctn in dcon]
+        )
+        # hl / Y corrections on the reduced dcon rows, from Zd per entry:
+        #   sum_n G * hl_t     = sum_c V_c * Zd[(lap_t, const, c)]
+        #   sum_n G * Y_t term = sum_c V_c * (b_w Zd[(k3, const, c)]
+        #                                     - sum_l C_wl Zd[(k3, e_l, c)])
+        table = fold_row_table(folded, C)
+        cflat = comp_flat_index(orders, D)
+        deg = max(ORDER_DEGREE[o] for o in orders)
+        basis = {e: i for i, e in enumerate(monomials_upto(D, deg))}
+        zero_e = tuple(0 for _ in range(D))
+        unit = lambda d: tuple(1 if m == d else 0 for m in range(D))
+        vrow = lambda c: geom_ref[1 + D + tri + c, :][None, :]
+        zrow = lambda k, m: Zd[table[(k, basis[m])], :][None, :]
+
+        def vz(k, m):
+            acc = None
+            for c in range(C):
+                t = vrow(c) * Zd[table[(k, basis[m])] + c, :][None, :]
+                acc = t if acc is None else acc + t
+            return acc
+
+        if "laplacian" in orders:
+            for (u, v) in sym_indices("laplacian", D):
+                t = tri_index(D, u, v)
+                k = cflat[("laplacian", (u, v))]
+                rows[D + t] = rows[D + t] - vz(k, zero_e)
+        if "third" in orders:
+            # b_w = (C mu)_w per entry, from the tile-local mean rows.
+            b = []
+            for w_ in range(D):
+                acc = None
+                for l in range(D):
+                    t = Cc(w_, l) * geom_ref[1 + l, :][None, :]
+                    acc = t if acc is None else acc + t
+                b.append(acc)
+            for (i, j, k_) in sym_indices("third", D):
+                k3 = cflat[("third", (i, j, k_))]
+                for (u, v, w_) in ((i, j, k_), (i, k_, j), (j, k_, i)):
+                    t = tri_index(D, u, v)
+                    term = b[w_] * vz(k3, zero_e)
+                    for l in range(D):
+                        term = term - Cc(w_, l) * vz(k3, unit(l))
+                    rows[D + t] = rows[D + t] + term
+        dent_ref[...] += jnp.concatenate(rows + [dvals], axis=0)
+
     def _compute_one(samples_ref, ct_ref, ct_t_ref):
         con = [geom_ref[1 + D + t, :][None, :] for t in range(tri)]
-        if separable or moments:
+        if folded is not None or separable or moments:
             # X from the monomial x_l rows and the tile-local mean rows
             # (X = mu_l - x_l == mu' - x for every same-tile pair).
             # power/a stay on the VPU here: the (BN, BP) orientation would
@@ -647,7 +1069,8 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
             ]
             G, a = formulas.power_terms(Xs, con)
         # Geom tile row is row 0; the sample operand's tile row rides LAST.
-        srow_t = mono_rows(D) if (separable or moments) else D
+        srow_t = (n_mono if folded is not None
+                  else mono_rows(D) if (separable or moments) else D)
         G = G * (
             samples_ref[srow_t, :][:, None] == geom_ref[0, :][None, :]
         ).astype(jnp.float32)
@@ -670,20 +1093,58 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
                 # faster than a depth-C MXU dot (whose HIGHEST-precision
                 # lowering pays 6 passes of pipeline latency on a thin
                 # contraction).
-                h = None
-                for cc in range(C):
-                    t = (g_nc[:, cc][:, None]
-                         * values_t[cc, :][None, :])
-                    h = t if h is None else h + t
-                all_hs.append(h)
+                if "h" in _ABLATE:
+                    all_hs.append(G)
+                elif h_matmul:
+                    # h = g @ values on the MXU: a thin depth-C dot per
+                    # component.  Standalone this loses to C broadcast
+                    # FMAs, but the pair kernels OVERLAP MXU and VPU and
+                    # the backward is VPU-bound (round-5 ablation: the
+                    # dvalue dots measure 0 ms inside the full kernel), so
+                    # moving the h chains (9.1 ms/step of binding VPU at
+                    # the D=2 operating point) onto the MXU hides them.
+                    all_hs.append(jnp.dot(
+                        g_nc, values_t,
+                        preferred_element_type=jnp.float32,
+                        precision=precision))
+                else:
+                    h = None
+                    for cc in range(C):
+                        t = (g_nc[:, cc][:, None]
+                             * values_t[cc, :][None, :])
+                        h = t if h is None else h + t
+                    all_hs.append(h)
+                if folded_dvals or "dvals" in _ABLATE:
+                    continue
                 # dL/dvalues[c,p] += sum_n g[c,n] * W_k[n,p]
                 g_t = ct_t_ref[(k0 + k) * C:(k0 + k + 1) * C, :]  # (C, BN)
                 w_k = G if isinstance(polys[k], float) else G * polys[k]
                 dv = jnp.dot(g_t, w_k,
                              preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+                             precision=precision)
                 dvals = dv if dvals is None else dvals + dv
             k0 += nk
+        if folded_dvals and "dvals" not in _ABLATE:
+            # Folded dvalues: ct_t_ref carries the beta-expanded cotangent
+            # rows (R, BN) (built outside: g[(k,c)] * monomial_m), so the K
+            # per-component dots collapse into ONE (R, BN) @ (BN, BP) dot
+            # against G, recombined with the per-entry alpha rows (geom
+            # rows after the values block - formulas.component_coeff_polys).
+            Zd = jnp.dot(ct_t_ref[...], G,
+                         preferred_element_type=jnp.float32,
+                         precision=precision)          # (R, BP)
+            a0 = 1 + D + tri + C
+            off = 0
+            arow = 0
+            for mrows in folded:
+                for _m in mrows:
+                    t = (Zd[off:off + C, :]
+                         * geom_ref[a0 + arow, :][None, :])
+                    dvals = t if dvals is None else dvals + t
+                    off += C
+                    arow += 1
+        if dvals is None:
+            dvals = jnp.zeros((C, G.shape[1]), jnp.float32)
         if moments:
             rows = _moment_rows(
                 orders, D, samples_ref, con, G, a, all_hs,
@@ -692,9 +1153,13 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
         else:
             # Collapsed closed form across ALL fused orders - one shared VJP
             # instead of per-component loops (formulas.vjp_params_fused).
-            dmu_acc, dcon_acc = formulas.vjp_params_fused(
-                orders, Xs, con, G, a, all_hs, lap_polys, third_polys
-            )
+            if "vjp" in _ABLATE:
+                dmu_acc = [G for _ in range(D)]
+                dcon_acc = [G for _ in range(tri)]
+            else:
+                dmu_acc, dcon_acc = formulas.vjp_params_fused(
+                    orders, Xs, con, G, a, all_hs, lap_polys, third_polys
+                )
             rows = (
                 [jnp.sum(m, axis=0, keepdims=True) for m in dmu_acc]
                 + [jnp.sum(ctn, axis=0, keepdims=True) for ctn in dcon_acc]
@@ -702,10 +1167,16 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
             )
         dent_ref[...] += jnp.concatenate(rows, axis=0)  # (NPARAM, BP)
 
+    def _dispatch(m):
+        if folded_vjp:
+            _compute_one_fvjp(samples_refs[m], ct_t_refs[m], ct_refs[m])
+        else:
+            _compute_one(samples_refs[m], ct_refs[m], ct_t_refs[m])
+
     if span == 1:
         @pl.when((a_w & 1) != 0)
         def _compute():
-            _compute_one(samples_refs[0], ct_refs[0], ct_t_refs[0])
+            _dispatch(0)
     else:
         if compressed:
             r = a_w >> 2
@@ -715,7 +1186,7 @@ def _wl_backward_kernel(orders, period, D, C, separable, moments, span,
         for m in range(span):
             @pl.when(m < lc)
             def _compute_m(m=m):
-                _compute_one(samples_refs[m], ct_refs[m], ct_t_refs[m])
+                _dispatch(m)
 
 
 def moment_layout(orders, D: int):
@@ -878,6 +1349,12 @@ def tiled_backward(
     separable: bool = False,
     moments: bool = False,
     span: int = 1,
+    folded=None,
+    n_mono: int = 0,
+    folded_dvals: bool = False,
+    folded_vjp: bool = False,
+    h_matmul: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Packed per-entry gradients (D+tri+C, Ep): means rows, conic rows,
     value rows.  The caller segment-sums by gaussian id (deterministic
@@ -888,7 +1365,9 @@ def tiled_backward(
     work list must be built with the same span); ``wl`` carries the per-row
     nblk vector as its 6th element (compressed live-count derivation)."""
     aux, col, base_c, starts, lcnt, nblk = wl
-    gid, ent_tile, geom, Ep = ent
+    gid, ent_tile, geom, Ep = ent[:4]
+    fold = ent[4] if len(ent) > 4 else None
+    foldw = ent[5] if len(ent) > 5 else None
     s_sorted, s_tile, Np = smp
     K = total_unique(orders, D)
     NPARAM = n_params(D, C)
@@ -906,12 +1385,21 @@ def tiled_backward(
         return blk if blk < full else full
 
     sep_prep = separable or moments
-    GROWS = (_prefix(1 + NPARAM, 1 + NPARAM + sep_rows(D)) if sep_prep
-             else 1 + NPARAM)
-    # The sample operand's tile row rides LAST (monomial rows keep their
-    # aligned offsets), so SROWS spans the full operand in sep/moment
-    # modes.
-    SROWS = (mono_rows(D) + 1 if sep_prep else 1 + D)
+    if folded is not None:
+        # Folded mode reads the raw monomial sample operand (tile row
+        # LAST); the geom alpha tail is only read by the folded dvalues
+        # recombination - with classic dvalues (folded_dvals=False) the
+        # block prefix stops after the value rows.
+        GROWS = (geom.shape[0] if folded_dvals
+                 else _prefix(1 + NPARAM, geom.shape[0]))
+        SROWS = n_mono + 1
+    else:
+        GROWS = (_prefix(1 + NPARAM, 1 + NPARAM + sep_rows(D)) if sep_prep
+                 else 1 + NPARAM)
+        # The sample operand's tile row rides LAST (monomial rows keep
+        # their aligned offsets), so SROWS spans the full operand in
+        # sep/moment modes.
+        SROWS = (mono_rows(D) + 1 if sep_prep else 1 + D)
     tri = tri_size(D)
     cap = aux.shape[0]
     NB = Np // block_n
@@ -954,26 +1442,48 @@ def tiled_backward(
 
     nsp = len(operands)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=nsp,
-        grid=(cap,),
-        in_specs=(
+    if folded_vjp:
+        # ``ct`` carries the TRANSPOSED beta-expanded cotangent (Np, R8)
+        # in this mode (see _compute_one_fvjp).
+        in_specs = (
+            [pl.BlockSpec((GROWS, block_e), row_map),
+             pl.BlockSpec((fold.shape[0], block_e), row_map),
+             pl.BlockSpec((foldw.shape[0], block_e), row_map)]
+            + [pl.BlockSpec((SROWS, block_n), col_map0_m(m))
+               for m in range(span)]
+            + [pl.BlockSpec((ct_t.shape[0], block_n), col_map0_m(m))
+               for m in range(span)]
+            + [pl.BlockSpec((block_n, ct_t.shape[0]), col_map_r_m(m))
+               for m in range(span)]
+        )
+        args = (geom, fold, foldw, *([s_sorted] * span),
+                *([ct_t] * span), *([ct] * span))
+    else:
+        in_specs = (
             [pl.BlockSpec((GROWS, block_e), row_map)]
             + [pl.BlockSpec((SROWS, block_n), col_map0_m(m))
                for m in range(span)]
             + [pl.BlockSpec((block_n, K * C), col_map_r_m(m))
                for m in range(span)]
-            + [pl.BlockSpec((K * C, block_n), col_map0_m(m))
+            + [pl.BlockSpec((ct_t.shape[0], block_n), col_map0_m(m))
                for m in range(span)]
-        ),
+        )
+        args = (geom, *([s_sorted] * span), *([ct] * span),
+                *([ct_t] * span))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,
+        grid=(cap,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((NOUT, block_e), row_map),
     )
 
     return pl.pallas_call(
         functools.partial(_wl_backward_kernel, orders, period, D, C,
-                          separable, moments, span, compressed, nsp),
+                          separable, moments, span, compressed, nsp,
+                          folded, n_mono, folded_dvals, folded_vjp,
+                          h_matmul, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NOUT, Ep), jnp.float32),
         interpret=_interpret(),
-    )(*operands, geom, *([s_sorted] * span), *([ct] * span),
-      *([ct_t] * span))
+    )(*operands, *args)

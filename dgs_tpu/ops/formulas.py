@@ -325,6 +325,219 @@ def _a_dcon(Xs: Sequence, D: int):
 FUSABLE_ORDERS = ("value", "derivative", "laplacian", "third")
 
 
+# ---------------------------------------------------------------------------
+# Monomial expansion of the component polynomials (the "folded-values" form)
+#
+# Every component weight is T_u = G * q_u with q_u a polynomial in
+# X = mu_l - x_l (forward.cu:168-275).  In tile-local coordinates both mu_l
+# and x_l are small, so q_u expands exactly over the raw monomial basis of
+# the SAMPLE coordinate x_l with coefficients that depend only on the ENTRY
+# (mu_l, conic).  Folding values[c] * coeff into per-entry rows turns the
+# K per-component value contractions of the pair kernels into ONE
+# (R, BP) @ (BP, BN) dot whose rhs is G alone - the per-pair polynomial
+# materialization disappears and the multi-pass fp32-precision premium is
+# paid once instead of K times (kernels/tiled.py).
+# ---------------------------------------------------------------------------
+
+
+ORDER_DEGREE = {"value": 0, "derivative": 1, "laplacian": 2, "third": 3}
+
+
+def monomials_upto(D: int, deg: int):
+    """Exponent tuples of the raw monomial basis in D variables, ordered by
+    degree then canonical index order: [1] + [x_d] + [x_i x_j, i<=j] +
+    [x_i x_j x_k, i<=j<=k].  Rows of the raw sample-monomial matrix
+    (kernels/tiled.sample_monomials_raw) follow this order; the degree-1
+    rows sit at 1..D (the kernels read tile-local x from them)."""
+    out = [tuple(0 for _ in range(D))]
+
+    def unit(d):
+        return tuple(1 if m == d else 0 for m in range(D))
+
+    def add(a, b):
+        return tuple(x + y for x, y in zip(a, b))
+
+    if deg >= 1:
+        out += [unit(d) for d in range(D)]
+    if deg >= 2:
+        out += [add(unit(i), unit(j)) for i in range(D) for j in range(i, D)]
+    if deg >= 3:
+        out += [
+            add(add(unit(i), unit(j)), unit(k))
+            for i in range(D)
+            for j in range(i, D)
+            for k in range(j, D)
+        ]
+    return out
+
+
+def _poly_add(p, q):
+    out = dict(p)
+    for e, c in q.items():
+        out[e] = out[e] + c if e in out else c
+    return out
+
+
+def _poly_mul(p, q):
+    out = {}
+    for e1, c1 in p.items():
+        for e2, c2 in q.items():
+            e = tuple(a + b for a, b in zip(e1, e2))
+            out[e] = out[e] + c1 * c2 if e in out else c1 * c2
+    return out
+
+
+def component_coeff_polys(orders: Sequence[str], D: int, mu: Sequence,
+                          con: Sequence):
+    """Per unique component (across ``orders`` in sequence): dict mapping
+    monomial exponent tuple -> per-entry coefficient, such that
+    q_u(X) == sum_m coeff_m(mu, con) * x^m with X_l = mu_l - x_l.
+
+    ``mu`` is the list of D tile-local mean arrays, ``con`` the packed
+    conic entry arrays.  The dict KEY SETS are structural (independent of
+    the coefficient values - the algebra never drops a key), so
+    folded_structure() derives the kernels' static layout from a dummy run.
+    """
+    C = lambda i, j: con[tri_index(D, i, j)]
+    zero = tuple(0 for _ in range(D))
+
+    def unit(d):
+        return tuple(1 if m == d else 0 for m in range(D))
+
+    # a_d as a polynomial in x: b_d - sum_l C_dl x_l, b_d = (C mu)_d.
+    A = []
+    for d in range(D):
+        p = {zero: sum(C(d, l) * mu[l] for l in range(D))}
+        for l in range(D):
+            p[unit(l)] = -C(d, l)
+        A.append(p)
+
+    out = []
+    for order in orders:
+        for idx in sym_indices(order, D):
+            if order == "value":
+                out.append({zero: 1.0})
+            elif order == "derivative":
+                out.append(dict(A[idx[0]]))
+            elif order == "laplacian":
+                i, j = idx
+                p = _poly_mul(A[i], A[j])
+                p = _poly_add(p, {zero: -C(i, j)})
+                out.append(p)
+            else:  # third
+                i, j, k = idx
+                p = _poly_mul(_poly_mul(A[i], A[j]), A[k])
+                p = {e: -c for e, c in p.items()}
+                for (u, v, w) in ((i, j, k), (i, k, j), (j, k, i)):
+                    p = _poly_add(
+                        p, {e: C(u, v) * c for e, c in A[w].items()})
+                out.append(p)
+    return out
+
+
+def comp_flat_index(orders: Sequence[str], D: int):
+    """(order, canonical index tuple) -> flat unique-component index across
+    ``orders`` in sequence (the kernels' component enumeration)."""
+    idx = {}
+    k0 = 0
+    for order in orders:
+        for t, sidx in enumerate(sym_indices(order, D)):
+            idx[(order, sidx)] = k0 + t
+        k0 += n_unique(order, D)
+    return idx
+
+
+def _a_polys(D: int, mu: Sequence, con: Sequence):
+    """a_d as x-polynomials (dicts): {0: (C mu)_d, e_l: -C_dl}."""
+    C = lambda i, j: con[tri_index(D, i, j)]
+    zero = tuple(0 for _ in range(D))
+
+    def unit(d):
+        return tuple(1 if m == d else 0 for m in range(D))
+
+    A = []
+    for d in range(D):
+        p = {zero: sum(C(d, l) * mu[l] for l in range(D))}
+        for l in range(D):
+            p[unit(l)] = -C(d, l)
+        A.append(p)
+    return A
+
+
+def w_coeff_polys(orders: Sequence[str], D: int, mu: Sequence,
+                  con: Sequence):
+    """The W_l accumulators of the fused VJP, expanded over the
+    (component, sample-monomial) basis.
+
+    Returns a list over l in range(D) of dicts {(flat_comp_index,
+    exponent_tuple) -> per-entry coefficient}, such that
+
+        W_l(p, n) = sum_{(k, e)} coeff(p) * x^e(n) * h_k(p, n)
+
+    replicates fused_pair_accumulators' W_l = sum_u h~_u dq_u/da_l exactly
+    (doubled laplacian diagonal, negated third products, reference sign
+    conventions).  Every exponent that appears is contained in component
+    k's own monomial set (the sparse sets are full bases per degree), so
+    the coefficients align with the folded-values row layout
+    (folded_structure)."""
+    C = lambda i, j: con[tri_index(D, i, j)]
+    zero = tuple(0 for _ in range(D))
+    A = _a_polys(D, mu, con)
+    idx = comp_flat_index(orders, D)
+    out = [dict() for _ in range(D)]
+
+    def add(l, comp_key, poly, scale=1.0):
+        if comp_key not in idx:
+            return
+        k = idx[comp_key]
+        for e, c in poly.items():
+            key = (k, e)
+            term = c * scale if scale != 1.0 else c
+            out[l][key] = (out[l][key] + term) if key in out[l] else term
+
+    for l in range(D):
+        # derivative: dq_i/da_l = delta_il
+        add(l, ("derivative", (l,)), {zero: 1.0})
+        # laplacian: (H a)_l with doubled diagonal
+        for m in range(D):
+            comp = ("laplacian", tuple(sorted((l, m))))
+            add(l, comp, A[m], 2.0 if l == m else 1.0)
+    # third: w[i] += -h q_pair(j,k) (+ permutations), q_jk = a_j a_k - C_jk
+    if any(o == "third" for o in orders):
+        def q_pair(j, k):
+            p = _poly_mul(A[j], A[k])
+            p = _poly_add(p, {zero: -C(j, k)})
+            return p
+
+        for i in range(D):
+            for j in range(i, D):
+                for k in range(j, D):
+                    comp = ("third", (i, j, k))
+                    add(i, comp, q_pair(j, k), -1.0)
+                    add(j, comp, q_pair(i, k), -1.0)
+                    add(k, comp, q_pair(i, j), -1.0)
+    return out
+
+
+def folded_structure(orders: Sequence[str], D: int):
+    """Static layout of the folded-values scheme: (meta, n_mono) where
+    ``meta`` is a tuple (one entry per unique component across ``orders``)
+    of tuples of raw-monomial row indices (into monomials_upto(D, deg)),
+    sorted in basis order.  The folded row count is C * sum(len(m) for m in
+    meta); the per-entry alpha rows follow the same (component-major,
+    basis-sorted) order."""
+    deg = max(ORDER_DEGREE[o] for o in orders)
+    basis = monomials_upto(D, deg)
+    index = {e: i for i, e in enumerate(basis)}
+    mu = [0.0] * D
+    con = [0.0] * tri_size(D)
+    polys = component_coeff_polys(orders, D, mu, con)
+    meta = tuple(
+        tuple(sorted(index[e] for e in p.keys())) for p in polys
+    )
+    return meta, len(basis)
+
+
 def fused_pair_accumulators(orders: Sequence[str], con: Sequence, a,
                             hs: Sequence,
                             lap_polys: Optional[Sequence] = None,

@@ -198,6 +198,7 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
                        unwrapped: bool = False,
                        separable: Optional[bool] = None,
                        moments: Optional[bool] = None,
+                       folded: Optional[bool] = None,
                        fwd_span: int = 1, bwd_span: int = 1):
     """Fused multi-order evaluation over a prebuilt BinningState.
 
@@ -274,6 +275,21 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         moments = moments and kernel_period is None
     prep_sep = separable or moments
 
+    # Folded-values kernels (kernels/tiled.folded_geom): ONE G contraction
+    # per pair block instead of K per-component value dots, per-pair
+    # polynomial materialization eliminated.  Requires the wrap-free
+    # certificate.  Default OFF: measured on-chip (round 5) the pair
+    # kernels OVERLAP VPU and MXU and the backward is VPU-bound, so the
+    # folded dot savings are largely hidden while the per-entry
+    # coefficient-array builds add real glue (D=2 46.8 vs 47.0 ms - a
+    # wash; D=3 248 vs 233 - a regression).  Kept as a tested A/B mode.
+    if folded is None:
+        folded = cfg.folded_values
+    folded = bool(folded) and kernel_period is None and not prep_sep
+    folded_meta, n_mono = (formulas.folded_structure(orders, D)
+                           if folded else (None, 0))
+    prec = ktiled.dot_precision(cfg)
+
     # Shared preparation: entry/sample padding aligned to both kernels' block
     # sizes so one gather serves forward and backward; sample sorting (and
     # the separable monomial matrix) is parameter-independent and hoisted
@@ -281,8 +297,10 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     align_e = max(block_e, bwd_block_e)
     align_n = max(block_n, bwd_block_n)
     s_sorted, s_tile, Np, mono = ktiled.prepare_samples(
-        state, samples, align_n, cfg=cfg, separable=prep_sep)
-    smp = (mono if prep_sep else s_sorted, s_tile, Np)
+        state, samples, align_n, cfg=cfg, separable=prep_sep,
+        folded_deg=(max(formulas.ORDER_DEGREE[o] for o in orders)
+                    if folded else None))
+    smp = (mono if (prep_sep or folded) else s_sorted, s_tile, Np)
     fwd_tile_local = prep_sep and not separable
     Ep = _round_up(state.num_entries, align_e)
 
@@ -322,29 +340,58 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     # (cfg.unwrapped_kernels; exactness certified by the capacity planner),
     # and then also run the separable MXU pair math (see above).
 
+    # Folded dvalues: beta-expanded cotangent rows, size-gated (the (R, Np)
+    # array is one elementwise pass; huge shards fall back to the classic
+    # per-component dots).
+    R_fold = (C * sum(len(m) for m in folded_meta)) if folded else 0
+    # Round-5 overlap finding: the classic per-component dvalue dots are
+    # FULLY HIDDEN under the VPU-bound backward (0 ms in the on-chip
+    # ablation), so the beta-expanded-cotangent forms are pure glue cost
+    # by default; both stay available for A/B.
+    fold_dv = folded and bool(cfg.folded_dvals) and (
+        R_fold * Np * 4 <= ktiled.CT_BETA_MAX_BYTES)
+    # Fully-folded backward: gated by the foldw arrays' size (D extra
+    # R8-row per-entry operands; the D=3 flagship's 3x292 rows exceed the
+    # per-item DMA budget - force with cfg.folded_vjp=True to A/B).
+    fold_vjp = bool(fold_dv) and bool(cfg.folded_vjp)
+
+    def _prep(m, v, c):
+        return ktiled.prepare_entries(
+            state, m, v, c, align_e, cfg=cfg, separable=prep_sep,
+            folded=(orders if folded else None), fold_meta=folded_meta,
+            folded_vjp=fold_vjp)
+
     @jax.custom_vjp
     def f(m, v, c):
-        ent = ktiled.prepare_entries(state, m, v, c, align_e, cfg=cfg,
-                                     separable=prep_sep)
+        ent = _prep(m, v, c)
         return ktiled.tiled_forward(
             orders, kernel_period, D, C, wl_f, ent, smp,
             block_n=block_n, block_e=block_e, separable=separable,
             tile_local=fwd_tile_local, span=fwd_span,
+            folded=folded_meta, n_mono=n_mono, precision=prec,
         )                     # (K*C, Np); columns >= N are zero
 
     def f_fwd(m, v, c):
-        return f(m, v, c), ktiled.prepare_entries(state, m, v, c, align_e,
-                                                  cfg=cfg,
-                                                  separable=prep_sep)
+        return f(m, v, c), _prep(m, v, c)
 
     def f_bwd(ent, g):
         # g arrives lane-major (K*C, Np); the backward's h matmuls also want
         # the (Np, K*C) orientation (in-kernel transposed-lhs dots measure
         # slower than one outside transpose).
+        ct_t = (ktiled.ct_beta_rows(folded_meta, C, g, smp[0],
+                                    pad_mult=128 if fold_vjp else 8)
+                if fold_dv else g)
+        ct = (ktiled.ct_beta_rows_t(folded_meta, C, g.T, smp[0].T)
+              if fold_vjp else g.T)
         dent = ktiled.tiled_backward(
-            orders, kernel_period, D, C, wl_b, ent, smp, g.T, g,
+            orders, kernel_period, D, C, wl_b, ent, smp,
+            ct, ct_t,
             block_n=bwd_block_n, block_e=bwd_block_e, separable=separable,
             moments=moments, span=bwd_span,
+            folded=folded_meta, n_mono=n_mono, folded_dvals=fold_dv,
+            folded_vjp=fold_vjp,
+            h_matmul=bool(cfg.h_matmul),
+            precision=prec,
         )
         if moments:
             # Fold the raw moment rows with the per-entry geometry - once

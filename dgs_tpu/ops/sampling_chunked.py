@@ -65,6 +65,25 @@ class ChunkedSamples(NamedTuple):
     overflow: jnp.ndarray  # () int32 chunk-capacity overflow
 
 
+def _kernel_modes(cfg: SamplerConfig):
+    """(separable, moments, folded) resolved from the config flags for the
+    chunked path (auto defaults: separable/moments OFF under pinned dot
+    precision, folded-values ON where the wrap-free certificate holds; a
+    forced separable/moment mode takes priority, fast-math disables the
+    folded auto)."""
+    wrap_free = cfg.unwrapped_kernels or cfg.period is None
+    separable = (bool(cfg.separable_kernels) and wrap_free
+                 if cfg.separable_kernels is not None else False)
+    moments = (bool(cfg.moment_backward) and wrap_free
+               if cfg.moment_backward is not None else False)
+    # Default OFF (round-5 on-chip finding: VPU/MXU overlap hides the
+    # folded dot savings while the coefficient builds add glue; see
+    # ops/sampling.sample_tiled_multi).
+    folded = bool(cfg.folded_values) and wrap_free and not (
+        separable or moments)
+    return separable, moments, folded
+
+
 def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
                  *, block_n: Optional[int] = None,
                  block_e: Optional[int] = None,
@@ -126,9 +145,10 @@ def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3),
-                   static_argnames=("plan", "block_n"))
+                   static_argnames=("plan", "block_n", "folded_deg"))
 def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
-                  block_n: int, sample_binning=None) -> ChunkedSamples:
+                  block_n: int, sample_binning=None,
+                  folded_deg: int = 3) -> ChunkedSamples:
     """Build the chunk-padded sample side (once per sample set)."""
     from ..binning import chunked
     from ..binning import grid as binning
@@ -148,21 +168,33 @@ def chunk_samples(cfg: SamplerConfig, samples, plan: ChunkPlan,
     )[:N]
     from ..kernels import tiled as ktiled
 
-    # The monomial matrix feeds the separable/moment kernels (any wrap-free
-    # config - the same predicate sample_chunked_multi uses); the wrapped
-    # case doesn't compute or store it.
+    # The monomial matrix feeds the folded/separable/moment kernels (any
+    # wrap-free config - the same predicate sample_chunked_multi uses); the
+    # wrapped case doesn't compute or store it.  The folded-values kernels
+    # use the RAW monomial basis (built to ``folded_deg``; degree 3 covers
+    # every order - sample_chunked_multi slices the prefix it needs);
+    # forced separable/moment modes use the weighted basis.
+    sep, mom, folded = _kernel_modes(cfg)
     prep_sep = cfg.unwrapped_kernels or cfg.period is None
     # The f32 tile row rides LAST in both sample operands (the pair mask
     # rides the parameter DMA; monomial/coord rows keep their aligned
     # offsets - kernels/tiled.prepare_samples).
     tile_f = ktiled.sample_tile_row(s_tile)
+    if folded and prep_sep:
+        mono = jnp.concatenate(
+            [ktiled.sample_monomials_raw(cfg, coords, s_tile, D,
+                                         folded_deg), tile_f], axis=0)
+    elif prep_sep:
+        mono = jnp.concatenate(
+            [ktiled.sample_monomials(cfg, coords, s_tile, D), tile_f],
+            axis=0)
+    else:
+        mono = None
     return ChunkedSamples(
         s_coords=jnp.concatenate([coords, tile_f], axis=0),
         s_tile=s_tile, pos=pos, cm=cm, cbase=cbase,
         ctile=ctile,
-        mono=(jnp.concatenate(
-            [ktiled.sample_monomials(cfg, coords, s_tile, D), tile_f],
-            axis=0) if prep_sep else None),
+        mono=mono,
         overflow=s_of,
     )
 
@@ -233,30 +265,19 @@ def sample_chunked_multi(
     # compact footprints; wrap-free D>=3 also enables the separable MXU
     # pair math (see ops/sampling.sample_tiled_multi).
     kernel_period = None if cfg.unwrapped_kernels else cfg.period
-    if cfg.separable_kernels is None:
-        # OFF by default since dot precision was pinned (see
-        # ops/sampling.sample_tiled_multi).
-        separable = False
-    else:
-        separable = cfg.separable_kernels and kernel_period is None
-    # Moment-form backward where the coordinates are tile-local, D >= 3
-    # auto default (see ops/sampling.sample_tiled_multi's A/B note);
-    # cfg.moment_backward overrides.
-    if cfg.moment_backward is None:
-        # OFF by default under pinned dot precision (see
-        # ops/sampling.sample_tiled_multi).
-        moments = False
-    else:
-        if cfg.moment_backward and kernel_period is not None:
-            import warnings
+    separable, moments, folded = _kernel_modes(cfg)
+    if cfg.moment_backward and kernel_period is not None:
+        import warnings
 
-            warnings.warn(
-                "moment_backward=True requires wrap-free (tile-local) "
-                "kernels but the config is periodic without the compact-"
-                "support certificate (cfg.unwrapped_kernels); falling back "
-                "to the per-pair backward", stacklevel=2)
-        moments = cfg.moment_backward and kernel_period is None
+        warnings.warn(
+            "moment_backward=True requires wrap-free (tile-local) "
+            "kernels but the config is periodic without the compact-"
+            "support certificate (cfg.unwrapped_kernels); falling back "
+            "to the per-pair backward", stacklevel=2)
     prep_sep = separable or moments
+    folded_meta, n_mono = (formulas.folded_structure(orders, D)
+                           if folded else (None, 0))
+    prec = ktiled.dot_precision(cfg)
 
     def _prepare(m, v, c):
         params = jnp.concatenate([m, c, v], axis=1)      # (P, NPARAM)
@@ -274,16 +295,37 @@ def sample_chunked_multi(
             npar = D + tri + C
             k = binning.image_shift(cfg, tile_pad, ent[:, npar:])
             ent = ent[:, :npar].at[:, :D].add(-cfg.period * k.astype(ent.dtype))
+        if folded:
+            geom, fold, foldw = ktiled.folded_geom(
+                cfg, ent, tile_pad, D, C, orders, folded_meta,
+                vjp=fold_vjp)
+            return gid_pad, tile_pad, geom, Ep, fold, foldw
         if prep_sep:
             ent = ktiled.separable_extend(cfg, ent, tile_pad, D)
         # Row 0 is the f32 tile row: the pair mask rides the parameter DMA
         # (see kernels/tiled.prepare_entries).
         geom = jnp.concatenate(
             [ktiled.entry_tile_row(tile_pad), ent.T], axis=0)
-        return gid_pad, tile_pad, geom, Ep
+        return gid_pad, tile_pad, geom, Ep, None
 
-    smp = (cs.mono if prep_sep else cs.s_coords, cs.s_tile, Nsp)
+    mono = cs.mono
+    if folded and mono is not None and mono.shape[0] != n_mono + 1:
+        # chunk_samples builds the raw basis to its ``folded_deg`` (3 by
+        # default); slice the prefix these orders need + the tile row.
+        mono = jnp.concatenate([mono[:n_mono], mono[-1:]], axis=0)
+    smp = (mono if (prep_sep or folded) else cs.s_coords, cs.s_tile, Nsp)
     fwd_tile_local = prep_sep and not separable
+
+    # Folded dvalues: beta-expanded cotangent, size-gated (see
+    # ops/sampling.sample_tiled_multi).
+    R_fold = (C * sum(len(x) for x in folded_meta)) if folded else 0
+    # Round-5 overlap finding: the classic per-component dvalue dots are
+    # FULLY HIDDEN under the VPU-bound backward (0 ms in the on-chip
+    # ablation), so the beta-expanded-cotangent forms are pure glue cost
+    # by default; both stay available for A/B.
+    fold_dv = folded and bool(cfg.folded_dvals) and (
+        R_fold * Nsp * 4 <= ktiled.CT_BETA_MAX_BYTES)
+    fold_vjp = bool(fold_dv) and bool(cfg.folded_vjp)
 
     @jax.custom_vjp
     def f(m, v, c):
@@ -292,16 +334,27 @@ def sample_chunked_multi(
             orders, kernel_period, D, C, wl_f, ent, smp,
             block_n=block_n, block_e=block_e, separable=separable,
             tile_local=fwd_tile_local, span=span_f,
+            folded=folded_meta, n_mono=n_mono, precision=prec,
         )                     # (K*C, Nsp); pad columns are zero
 
     def f_fwd(m, v, c):
         return f(m, v, c), _prepare(m, v, c)
 
     def f_bwd(ent, g):
+        ct_t = (ktiled.ct_beta_rows(folded_meta, C, g, smp[0],
+                                    pad_mult=128 if fold_vjp else 8)
+                if fold_dv else g)
+        ct = (ktiled.ct_beta_rows_t(folded_meta, C, g.T, smp[0].T)
+              if fold_vjp else g.T)
         dent = ktiled.tiled_backward(
-            orders, kernel_period, D, C, wl_b, ent, smp, g.T, g,
+            orders, kernel_period, D, C, wl_b, ent, smp,
+            ct, ct_t,
             block_n=block_n, block_e=block_e, separable=separable,
             moments=moments, span=span_b,
+            folded=folded_meta, n_mono=n_mono, folded_dvals=fold_dv,
+            folded_vjp=fold_vjp,
+            h_matmul=bool(cfg.h_matmul),
+            precision=prec,
         )
         if moments:
             dent = ktiled.moment_combine(orders, D, C, dent, ent[2])

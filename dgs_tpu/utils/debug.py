@@ -54,6 +54,34 @@ def snapshot_call(debug: bool, name: str, fn, *args: Any, **kwargs: Any):
         raise
 
 
+def checked(fn, *, errors=None):
+    """Compiled-step error checking: the in-jit equivalent of the
+    reference's CHECK_CUDA (auxiliary.h:33-40).
+
+    Wraps ``fn`` with ``jax.experimental.checkify`` float checks (NaN/Inf
+    at every primitive), so a jitted/scanned training step can localize
+    which operation produced the first non-finite value WITHOUT rerunning
+    eagerly.  Returns a function producing (err, out); call
+    ``err.throw()`` (or ``debug.throw(err)``) after the step - the raised
+    message carries the failing primitive and source line.
+
+    Cost: functionalized checks add per-primitive overhead - this is the
+    debug=True path, not the production step.  Composes with jit/grad/scan
+    (unlike ``jax_debug_nans``, which re-runs op-by-op outside jit and
+    cannot see inside a compiled scan body).
+    """
+    from jax.experimental import checkify
+
+    return checkify.checkify(
+        fn, errors=errors if errors is not None else checkify.float_checks)
+
+
+def throw(err) -> None:
+    """Raise the checkify error (if any) - one sync point per step, like
+    the reference's per-launch cudaDeviceSynchronize under debug."""
+    err.throw()
+
+
 def check_finite(name: str, tree) -> None:
     """Eager NaN/Inf probe over a pytree (the reference's ad-hoc NaN check,
     __init__.py:185-188, done properly)."""

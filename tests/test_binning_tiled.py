@@ -414,6 +414,38 @@ def test_moment_backward_matches_pairwise_backward(rng, D):
         )
 
 
+@pytest.mark.parametrize("D", [1, 2, 3])
+def test_folded_values_matches_pairwise(rng, D):
+    """The folded-values kernels (ONE G contraction per pair block with
+    per-entry monomial-coefficient rows, kernels/tiled.folded_geom +
+    formulas.component_coeff_polys) must reproduce the classic per-component
+    path - all four orders, values AND all three gradients."""
+    cfg = SamplerConfig(max_tiles_per_gaussian=4, tile_size=0.51,
+                        eig_floor=1e-12).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 37, 53, D, sigma_range=(0.02, 0.05))
+    state, fg, bg, fw, bw = _build(cfg, m, cov, s)
+
+    def loss(folded, m_, v_, c_):
+        outs = sampling.sample_tiled_multi(
+            ORDERS, cfg, m_, v_, c_, s, state, fg, bg, fw, bw,
+            block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+            unwrapped=True, folded=folded,
+        )
+        return sum(jnp.sum(o * o) / (1.0 + jnp.sum(o * o)) * 100.0
+                   for o in outs)
+
+    (l_c, g_c) = jax.value_and_grad(
+        lambda *a: loss(False, *a), argnums=(0, 1, 2))(m, v, c)
+    (l_f, g_f) = jax.value_and_grad(
+        lambda *a: loss(True, *a), argnums=(0, 1, 2))(m, v, c)
+    np.testing.assert_allclose(l_f, l_c, rtol=1e-5)
+    for a, b, name in zip(g_f, g_c, ("means", "values", "conics")):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=2e-4 * max(1.0, float(np.abs(b).max())),
+            err_msg=name,
+        )
+
+
 def test_span_packed_work_items_match_span1(rng):
     """work_span_fwd/bwd > 1 (multi-block work items) is a pure scheduling
     change: outputs and gradients must be BIT-identical to span=1 (same

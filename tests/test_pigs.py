@@ -55,6 +55,38 @@ def test_grads_reach_scales_and_rotations():
     assert float(jnp.abs(g.values).max()) > 0
 
 
+def test_checked_step_localizes_injected_nan():
+    """Compiled-step NaN localization (the in-jit CHECK_CUDA equivalent,
+    utils/debug.checked): a NaN injected into the parameters of a JITTED
+    PIGS loss+grad step must raise a checkify error that names the failing
+    primitive - without leaving the compiled path."""
+    from dgs_tpu.utils import debug
+
+    cfg = SamplerConfig(work_blocks_fwd=16, work_blocks_bwd=32)
+    u_star, f_rhs = pigs.manufactured_solution(2)
+    field = init_field(jax.random.PRNGKey(1), 32, 2, 1, sigma=0.2)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (64, 2), minval=-1,
+                           maxval=1)
+
+    def step(f):
+        (l, _), g = jax.value_and_grad(
+            lambda f_: pigs.pigs_loss(cfg, f_, x, x, u_star(x), f_rhs,
+                                      method="dense"),
+            has_aux=True)(f)
+        return l, g
+
+    checked_step = jax.jit(debug.checked(step))
+    # Clean parameters: no error raised.
+    err, (l, g) = checked_step(field)
+    debug.throw(err)
+    assert np.isfinite(float(l))
+    # Inject a NaN into one mean; the checked step localizes it.
+    bad = field._replace(means=field.means.at[3, 0].set(jnp.nan))
+    err, _ = checked_step(bad)
+    with pytest.raises(Exception, match="nan"):
+        debug.throw(err)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from dgs_tpu.utils import checkpoint
 

@@ -210,7 +210,7 @@ def main():
     con, cov = field.conics(), field.covariances()
     smp, ent, wl_f, wl_b = jax.block_until_ready(
         prep(cfg, None, field.means, cov, con, field.values, samples))
-    gid, ent_tile, geom, Ep = ent
+    gid, ent_tile, geom, Ep = ent[:4]
     s_sorted, s_tile, Np = smp
     # prepare_entries carries the f32 tile row at row 0, prepare_samples
     # LAST; this tool's kernels use the separate int tile operands, so

@@ -56,6 +56,9 @@ def main():
         work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 1)),
         work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 1)),
         axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+        folded_values=(None if "BENCH_FOLDED" not in os.environ
+                       else os.environ["BENCH_FOLDED"] == "1"),
+        fast_math_dots=os.environ.get("BENCH_FASTMATH", "0") == "1",
     )
     if method == "chunked":
         from dgs_tpu.ops import sampling_chunked
