@@ -106,6 +106,10 @@ def main():
         # (-23% pairs at the D=3 operating point).  BENCH_AXIS=0 restores
         # the reference's isotropic sqrt(lambda_max) box.
         axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+        # Exact ellipsoid-vs-tile cull (binning/grid.ellip_keep): drops the
+        # AABB corner tiles the 3-sigma ellipsoid never touches.
+        # BENCH_ELLIP=0 restores plain box footprints.
+        ellip_cull=os.environ.get("BENCH_ELLIP", "1") == "1",
         # BENCH_SEP=0/1 forces the separable MXU pair math off/on (unset =
         # per-D auto); the tradeoff flipped when kernel dot precision was
         # pinned to HIGHEST.

@@ -70,6 +70,69 @@ inline double radius_axes(const float* cov, int D, double radius_sigma,
   return r;
 }
 
+// Packed-tri inverse of a packed-tri covariance (binning/grid.py
+// conics_from_cov).  Returns false when det <= 0 (no conic: keep all
+// tiles; such rows are det-culled by the radius anyway).
+inline bool conic_from_cov(const float* cov, int D, double* Q) {
+  if (D == 2) {
+    double det = (double)cov[0] * cov[2] - (double)cov[1] * cov[1];
+    if (det <= 0.0) return false;
+    Q[0] = cov[2] / det;
+    Q[1] = -cov[1] / det;
+    Q[2] = cov[0] / det;
+    return true;
+  }
+  double a00 = cov[0], a01 = cov[1], a02 = cov[2];
+  double a11 = cov[3], a12 = cov[4], a22 = cov[5];
+  double q00 = a11 * a22 - a12 * a12;
+  double q01 = a02 * a12 - a01 * a22;
+  double q02 = a01 * a12 - a02 * a11;
+  double q11 = a00 * a22 - a02 * a02;
+  double q12 = a01 * a02 - a00 * a12;
+  double q22 = a00 * a11 - a01 * a01;
+  double det = a00 * q00 + a01 * q01 + a02 * q02;
+  if (det <= 0.0) return false;
+  Q[0] = q00 / det;
+  Q[1] = q01 / det;
+  Q[2] = q02 / det;
+  Q[3] = q11 / det;
+  Q[4] = q12 / det;
+  Q[5] = q22 / det;
+  return true;
+}
+
+// Exact ellipsoid-vs-tile test (binning/grid.py ellip_keep): clamped cyclic
+// coordinate descent on min_{y in box} y^T Q y, 8 sweeps from the Euclidean
+// projection of the mean; keep iff the found minimum is within (1 + 1e-3)
+// of radius_sigma^2.  Q is packed-tri; blo/bhi are the tile box centered on
+// the mean.
+inline bool ellip_keep_tile(const double* Q, int D, const double* blo,
+                            const double* bhi, double sigma2) {
+  static const int tri2[2][2] = {{0, 1}, {1, 2}};
+  static const int tri3[3][3] = {{0, 1, 2}, {1, 3, 4}, {2, 4, 5}};
+  double y[3];
+  for (int d = 0; d < D; ++d)
+    y[d] = std::min(std::max(0.0, blo[d]), bhi[d]);
+  for (int it = 0; it < 8; ++it) {
+    for (int d = 0; d < D; ++d) {
+      double num = 0.0, qdd = 0.0;
+      for (int e = 0; e < D; ++e) {
+        double q = D == 2 ? Q[tri2[d][e]] : Q[tri3[d][e]];
+        if (e == d)
+          qdd = q;
+        else
+          num += q * y[e];
+      }
+      y[d] = std::min(std::max(-num / std::max(qdd, 1e-30), blo[d]), bhi[d]);
+    }
+  }
+  double f = 0.0;
+  for (int d = 0; d < D; ++d)
+    for (int e = 0; e < D; ++e)
+      f += (D == 2 ? Q[tri2[d][e]] : Q[tri3[d][e]]) * y[d] * y[e];
+  return f <= sigma2 * (1.0 + 1e-3);
+}
+
 }  // namespace
 
 extern "C" {
@@ -95,7 +158,7 @@ int dgs_plan_capacities(
     double tile_size, int32_t periodic,
     double radius_sigma, double eig_floor,
     int32_t block_n, int32_t block_e, int32_t block_e_b, int32_t block_n_b,
-    int32_t axis_radii,
+    int32_t axis_radii, int32_t ellip_cull,
     int64_t* out) {
   if (D < 1 || D > 3 || P < 0 || N < 0) return 1;
   const double lower[3] = {lower0, lower1, lower2};
@@ -132,8 +195,8 @@ int dgs_plan_capacities(
       ++culled;
       continue;
     }
-    int64_t cnt = 1;
     int64_t lo[3], hi[3];
+    bool full_cover = false;
     for (int d = 0; d < D; ++d) {
       double m = means[p * D + d];
       double rd = axis_radii ? rax[d] : rad;
@@ -146,30 +209,49 @@ int dgs_plan_capacities(
       if (hi[d] - lo[d] >= grid[d]) {
         lo[d] = 0;
         hi[d] = grid[d];
+        full_cover = true;
       }
       max_extent = std::max(max_extent, hi[d] - lo[d]);
-      cnt *= (hi[d] - lo[d]);
     }
-    total_entries += cnt;
+    // Ellipsoid-vs-tile cull (cfg.ellip_cull; mirrors binning/grid.py
+    // ellip_keep): full covers and conic-less rows keep every tile.
+    double Q[6];
+    bool do_cull = ellip_cull && D >= 2 && !full_cover &&
+                   conic_from_cov(covariances + p * tri, D, Q);
+    double sigma2 = radius_sigma * radius_sigma;
+    auto keep = [&](const int64_t* idx) {
+      if (!do_cull) return true;
+      double blo[3], bhi[3];
+      for (int d = 0; d < D; ++d) {
+        blo[d] = lower[d] + (double)idx[d] * tile_size - means[p * D + d];
+        bhi[d] = blo[d] + tile_size;
+      }
+      return ellip_keep_tile(Q, D, blo, bhi, sigma2);
+    };
     // Tally per-tile entry counts (wrapped).
     int64_t idx[3];
     for (idx[0] = lo[0]; idx[0] < (D > 0 ? hi[0] : lo[0] + 1); ++idx[0]) {
       int64_t t0 = periodic ? ((idx[0] % grid[0]) + grid[0]) % grid[0] : idx[0];
       if (D == 1) {
         ++tile_entries[(size_t)t0];
+        ++total_entries;
         continue;
       }
       for (idx[1] = lo[1]; idx[1] < hi[1]; ++idx[1]) {
         int64_t t1 = periodic ? ((idx[1] % grid[1]) + grid[1]) % grid[1]
                               : idx[1];
         if (D == 2) {
+          if (!keep(idx)) continue;
           ++tile_entries[(size_t)(t0 * grid[1] + t1)];
+          ++total_entries;
           continue;
         }
         for (idx[2] = lo[2]; idx[2] < hi[2]; ++idx[2]) {
           int64_t t2 = periodic ? ((idx[2] % grid[2]) + grid[2]) % grid[2]
                                 : idx[2];
+          if (!keep(idx)) continue;
           ++tile_entries[(size_t)((t0 * grid[1] + t1) * grid[2] + t2)];
+          ++total_entries;
         }
       }
     }

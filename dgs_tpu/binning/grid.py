@@ -32,7 +32,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import SamplerConfig
+from ..config import SamplerConfig, tri_index
 from ..oracle.dense import radii as compute_radii
 
 
@@ -133,8 +133,82 @@ def gaussian_rects(cfg: SamplerConfig, means: jnp.ndarray, radii: jnp.ndarray):
     return lo, hi
 
 
+ELLIP_CULL_SWEEPS = 8     # coordinate-descent sweeps for ellip_keep
+ELLIP_CULL_TOL = 1e-3     # keep tiles within (1 + tol) of the sigma level
+
+
+def conics_from_cov(covariances: jnp.ndarray, D: int) -> jnp.ndarray:
+    """Packed-tri inverse of packed-tri covariances (closed form, D <= 3).
+
+    Rows with non-positive determinant come back as zeros - callers treat
+    them as "no conic" (those Gaussians are det-culled by ``radii`` anyway).
+    Used only by the binning-time ellipsoid cull; the evaluation conics are
+    a model parameter (the reference also takes conics as an input,
+    sample_points.cu:167)."""
+    c = covariances
+    if D == 1:
+        det = c[:, 0]
+        inv = jnp.where(det > 0.0, 1.0 / jnp.maximum(det, 1e-30), 0.0)
+        return inv[:, None]
+    if D == 2:
+        det = c[:, 0] * c[:, 2] - c[:, 1] ** 2
+        inv = jnp.where(det > 0.0, 1.0 / jnp.maximum(det, 1e-30), 0.0)
+        return jnp.stack([c[:, 2], -c[:, 1], c[:, 0]], axis=1) * inv[:, None]
+    a00, a01, a02, a11, a12, a22 = (c[:, t] for t in range(6))
+    q00 = a11 * a22 - a12 * a12
+    q01 = a02 * a12 - a01 * a22
+    q02 = a01 * a12 - a02 * a11
+    q11 = a00 * a22 - a02 * a02
+    q12 = a01 * a02 - a00 * a12
+    q22 = a00 * a11 - a01 * a01
+    det = a00 * q00 + a01 * q01 + a02 * q02
+    inv = jnp.where(det > 0.0, 1.0 / jnp.maximum(det, 1e-30), 0.0)
+    return jnp.stack([q00, q01, q02, q11, q12, q22], axis=1) * inv[:, None]
+
+
+def ellip_keep(cfg: SamplerConfig, means: jnp.ndarray, conics: jnp.ndarray,
+               cand: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+    """(P, dup) keep mask: does the radius_sigma ellipsoid intersect each
+    candidate tile box?
+
+    ``cand`` holds UNWRAPPED per-axis tile indices (the rect enumeration's
+    lo + offs, before the periodic modulo), so the box sits at the
+    geometrically-near image of the tile.  The test minimizes the convex
+    quadratic y^T Q y over the centered tile box with ELLIP_CULL_SWEEPS
+    rounds of clamped cyclic coordinate descent from the Euclidean
+    projection of the mean; a tile is kept iff the found minimum is within
+    (1 + ELLIP_CULL_TOL) of radius_sigma^2.  The minimum found is an upper
+    bound of the true minimum, so an unconverged solve can only mis-cull
+    tiles the ellipsoid BARELY grazes (contributions at the exp(-sigma^2/2)
+    tail the box footprint itself truncates); ill-conditioned rows
+    (zero-conic sentinel from conics_from_cov) and ``skip`` rows (full
+    covers) are always kept."""
+    P, D = means.shape
+    lower = jnp.asarray(cfg.lower, means.dtype)
+    blo = (lower[None, None, :] + cand.astype(means.dtype) * cfg.tile_size
+           - means[:, None, :])                       # (P, dup, D)
+    bhi = blo + cfg.tile_size
+    Q = [[conics[:, tri_index(D, i, j)][:, None] for j in range(D)]
+         for i in range(D)]
+    y = [jnp.clip(jnp.zeros(blo.shape[:2], means.dtype),
+                  blo[..., d], bhi[..., d]) for d in range(D)]
+    for _ in range(ELLIP_CULL_SWEEPS):
+        for d in range(D):
+            num = sum(Q[d][e] * y[e] for e in range(D) if e != d)
+            y[d] = jnp.clip(-num / jnp.maximum(Q[d][d], 1e-30),
+                            blo[..., d], bhi[..., d])
+    f = sum(Q[d][d] * y[d] * y[d] for d in range(D))
+    for d in range(D):
+        for e in range(d + 1, D):
+            f = f + 2.0 * Q[d][e] * y[d] * y[e]
+    level = cfg.radius_sigma * cfg.radius_sigma * (1.0 + ELLIP_CULL_TOL)
+    degenerate = jnp.all(conics == 0.0, axis=1)[:, None]
+    return (f <= level) | degenerate | skip
+
+
 def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
-                      radii: jnp.ndarray, R: int, E_cap: int):
+                      radii: jnp.ndarray, R: int, E_cap: int,
+                      conics: Optional[jnp.ndarray] = None):
     """Tile-sorted (gaussian, tile) duplicate entries for arbitrary radii.
 
     The TPU replacement for duplicateWithKeys + radix sort + ranges
@@ -164,6 +238,13 @@ def duplicate_entries(cfg: SamplerConfig, means: jnp.ndarray,
     cand = lo[:, None, :] + offs[None, :, :]  # (P, dup, D)
     valid = jnp.all(cand < hi[:, None, :], axis=-1)
     g = jnp.asarray(grid, jnp.int32)
+    if conics is not None and D >= 2:
+        # Exact ellipsoid-vs-tile cull (cfg.ellip_cull): run on the
+        # UNWRAPPED candidate indices (the geometrically-near image).
+        # Full-cover footprints skip the test (their collapsed rect no
+        # longer encodes per-tile geometry).
+        skip = jnp.any((hi - lo) >= g[None, :], axis=1)[:, None]
+        valid = valid & ellip_keep(cfg, means, conics, cand, skip)
     if cfg.period is not None:
         # Wrap the candidate tile to its periodic image.  Which image it is
         # (k_d = floor(cand_d / g_d)) is NOT carried through the sort: it is
@@ -300,15 +381,30 @@ def build(
     covariances: jnp.ndarray, # (P, tri)
     samples: jnp.ndarray,     # (N, D)
     sample_binning: Optional[SampleBinning] = None,
+    gaussian_binning: Optional[BinningState] = None,
 ) -> BinningState:
     """Build the acceleration structure (reference preprocess, ext.cpp:20).
 
     Pass a prebuilt ``sample_binning`` (from bin_samples) to skip the
     parameter-independent sample sort when the query points are unchanged.
-    """
+    Pass a prebuilt ``gaussian_binning`` (a BinningState from an earlier
+    build with the SAME cfg/means/covariances) to skip the Gaussian-side
+    duplicate/sort when the cloud geometry is fixed and only the query
+    points change (the dynamics-training shape: values evolve, means do
+    not - the mirror image of the reference's per-step re-preprocess,
+    sampler_impl.cu:216-330, legal here because the entry list depends
+    only on geometry)."""
     P, D = means.shape
     cfg = cfg.with_dims(D)
     R = cfg.max_tiles_per_gaussian
+
+    if gaussian_binning is not None:
+        sb = (sample_binning if sample_binning is not None
+              else bin_samples(cfg, samples))
+        return gaussian_binning._replace(
+            s_perm=sb.s_perm, s_tile=sb.s_tile, s_start=sb.s_start,
+            s_sorted=sb.s_sorted,
+        )
 
     if cfg.axis_radii:
         from ..oracle.dense import radii_axis
@@ -316,9 +412,11 @@ def build(
         rad = radii_axis(covariances, D, cfg.radius_sigma, cfg.eig_floor)
     else:
         rad = compute_radii(covariances, D, cfg.radius_sigma, cfg.eig_floor)
+    cull_conics = (conics_from_cov(covariances, D)
+                   if cfg.ellip_cull and D >= 2 else None)
     (ent_gid, ent_tile, ent_start, overflow,
      entry_overflow) = duplicate_entries(
-        cfg, means, rad, R, entry_capacity(cfg, P, R)
+        cfg, means, rad, R, entry_capacity(cfg, P, R), conics=cull_conics
     )
 
     sb = sample_binning if sample_binning is not None else bin_samples(

@@ -136,6 +136,16 @@ class SamplerConfig:
     # entries at the D=3 operating point).  Off by default for exact
     # reference rect semantics.
     axis_radii: bool = False
+    # Exact ellipsoid-vs-tile culling (binning/grid.ellip_keep): drop every
+    # candidate tile whose box the radius_sigma-sigma ellipsoid does not
+    # intersect.  Any (per-axis or isotropic) bounding BOX keeps corner
+    # tiles the ellipsoid never touches (ellipse/box area pi/4 at D=2,
+    # ellipsoid/box volume pi/6 at D=3); a short coordinate-descent solve of
+    # min_{x in tile} (x-mu)^T conic (x-mu) culls them exactly.  Same
+    # support as the box footprint (a strict subset of its tiles), so this
+    # composes with axis_radii.  Off by default for reference rect-semantics
+    # parity (like axis_radii); D=1 and full-cover footprints are unchanged.
+    ellip_cull: bool = False
 
     # Pallas block sizes (tunable; defaults from the on-chip sweep at the
     # 100k-Gaussian / 1M-sample operating point, tools/sweep_blocks.py).

@@ -137,9 +137,25 @@ def make_value_eval(cfg: SamplerConfig, field: GaussianField,
 
     import dataclasses
 
+    from ..binning import grid as binning
     from ..utils import native
 
     covs = field.covariances()
+    # Auto-tile the EVAL grid to the cloud's footprints (mirrors
+    # plan_pallas's auto_tile): the facade default tile (the reference's
+    # 0.51 world BLOCK_SIZE, config.h:18) is catastrophically coarse for
+    # dense clouds - at 100k Gaussians it put ~6k entries x ~4k samples in
+    # every tile and the 65k-point eval cost MORE pair work than the 1M-
+    # sample headline bench.  tile ~ 2.7x the median footprint radius is
+    # the on-chip sweep optimum at the bench operating point (BASELINE.md);
+    # only ever shrink the configured tile.
+    rad_med = float(jnp.median(compute_radii(
+        covs, field.D, cfg.radius_sigma, cfg.eig_floor)))
+    extent = (cfg.period if cfg.period is not None
+              else min(u - l for l, u in zip(cfg.lower, cfg.upper)))
+    tile_auto = max(2.7 * rad_med, extent / 512.0)
+    if 0.0 < tile_auto < cfg.tile_size:
+        cfg = dataclasses.replace(cfg, tile_size=tile_auto)
     probe = jax.random.uniform(
         jax.random.PRNGKey(17), (n_eval, field.D), minval=-1.0, maxval=1.0)
     plan = native.plan_capacities(cfg, field.means, covs, probe)
@@ -152,9 +168,17 @@ def make_value_eval(cfg: SamplerConfig, field: GaussianField,
         work_blocks_bwd=max(int(plan["work_blocks_bwd"]) * 4, 32),
     )
 
+    # The cloud geometry is FIXED in dynamics training (only the values
+    # evolve): build the Gaussian-side binning once here and reuse it in
+    # every step - the jitted step then only sorts the fresh sample batch
+    # (binning.build gaussian_binning reuse).
+    gstate = jax.jit(binning.build, static_argnums=0)(
+        cfg_s, field.means, covs, probe)
+
     def eval_u(values, x):
         outs, diag = sampling.sample_binned(
-            cfg_s, field.means, values, conics, covs, x, ("value",))
+            cfg_s, field.means, values, conics, covs, x, ("value",),
+            gaussian_binning=gstate)
         if with_overflow:
             of = sum(v for k, v in diag.items() if k != "perm")
             return outs["value"], of.astype(jnp.int32)

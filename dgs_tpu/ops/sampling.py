@@ -245,8 +245,11 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
         # HIGHEST (round 4): the separable MXU form won under
         # default-precision (one-pass bf16) dots, but at 6-pass fp32-class
         # precision the exact per-pair VPU chains are faster (D=3 chunked
-        # 255.6 vs 235.5 ms/step measured on-chip).
-        separable = False
+        # 255.6 vs 235.5 ms/step measured on-chip).  Under the documented
+        # fast-math mode the dots are one-pass again, so the bf16-era
+        # winner (separable MXU pair math at D >= 3) comes back on.
+        separable = (bool(cfg.fast_math_dots) and D >= 3
+                     and kernel_period is None)
     else:
         separable = separable and kernel_period is None
     separable = separable and kernel_period is None
@@ -261,8 +264,10 @@ def sample_tiled_multi(orders: Tuple[str, ...], cfg,
     if moments is None:
         # Auto default OFF under pinned dot precision (see separable note):
         # the moment-form contractions pay 6-pass dots; the per-pair VJP is
-        # exact VPU math (D=3 chunked 255.6 -> 235.5 ms/step).
-        moments = False
+        # exact VPU math (D=3 chunked 255.6 -> 235.5 ms/step).  Fast-math
+        # restores the bf16-era auto (moment backward for wrap-free D >= 3).
+        moments = (bool(cfg.fast_math_dots) and D >= 3
+                   and kernel_period is None)
     else:
         if moments and kernel_period is not None:
             import warnings
@@ -448,7 +453,8 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
                   sorted_outputs: bool = False,
                   unique_outputs: bool = False,
                   padded_outputs: bool = False,
-                  sample_binning=None):
+                  sample_binning=None,
+                  gaussian_binning=None):
     """Fully jit-compatible binned evaluation: builds the acceleration
     structure in-trace with the static work caps from ``cfg`` and returns
     (outputs dict, diagnostics dict).
@@ -469,7 +475,8 @@ def sample_binned(cfg, means, values, conics, covariances, samples,
 
     N = samples.shape[0]
     state = binning.build(cfg, means, covariances, samples,
-                          sample_binning=sample_binning)
+                          sample_binning=sample_binning,
+                          gaussian_binning=gaussian_binning)
     bn, be = cfg.block_n, cfg.block_p
     bbn, bbe = cfg.bwd_blocks
     fwd_geom = binning.forward_geometry(state, bn, be)

@@ -72,10 +72,15 @@ def _kernel_modes(cfg: SamplerConfig):
     forced separable/moment mode takes priority, fast-math disables the
     folded auto)."""
     wrap_free = cfg.unwrapped_kernels or cfg.period is None
+    # Auto defaults mirror ops/sampling.sample_tiled_multi: OFF under
+    # pinned (fp32-class) dot precision, but under the documented fast-math
+    # mode the one-pass dots restore the bf16-era winners (separable MXU
+    # pair math + moment backward at wrap-free D >= 3).
+    fast_auto = bool(cfg.fast_math_dots) and cfg.D >= 3 and wrap_free
     separable = (bool(cfg.separable_kernels) and wrap_free
-                 if cfg.separable_kernels is not None else False)
+                 if cfg.separable_kernels is not None else fast_auto)
     moments = (bool(cfg.moment_backward) and wrap_free
-               if cfg.moment_backward is not None else False)
+               if cfg.moment_backward is not None else fast_auto)
     # Default OFF (round-5 on-chip finding: VPU/MXU overlap hides the
     # folded dot savings while the coefficient builds add glue; see
     # ops/sampling.sample_tiled_multi).
@@ -126,7 +131,10 @@ def plan_chunked(cfg: SamplerConfig, means, covariances, samples,
             cfg = dataclasses.replace(cfg, unwrapped_kernels=True)
     lo, hi = binning.gaussian_rects(cfg, means, rad)
     R = max(int(jax.device_get(jnp.max(hi - lo))), 1)
-    ent = binning.duplicate_entries(cfg, means, rad, R, P * R ** D)
+    plan_conics = (binning.conics_from_cov(jnp.asarray(covariances), D)
+                   if cfg.ellip_cull and D >= 2 else None)
+    ent = binning.duplicate_entries(cfg, means, rad, R, P * R ** D,
+                                    conics=plan_conics)
     T = binning.num_tiles(cfg, D)
     n_entries = int(jax.device_get(jnp.sum(ent[1] < T)))
     sb = binning.bin_samples(cfg, samples)
@@ -234,7 +242,9 @@ def sample_chunked_multi(
     radii = jax.lax.stop_gradient(radii)
 
     (gid, tile, start, rect_of, ent_of) = binning.duplicate_entries(
-        cfg, means, radii, plan.rect, min(P * plan.rect ** D, plan.entries)
+        cfg, means, radii, plan.rect, min(P * plan.rect ** D, plan.entries),
+        conics=(jax.lax.stop_gradient(conics)
+                if cfg.ellip_cull and D >= 2 else None),
     )
     esrc, evalid, etile, echunk_tile, ebase, em, e_of = chunked.chunk_layout(
         start, block_e, plan.e_chunks)

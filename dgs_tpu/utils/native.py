@@ -107,6 +107,7 @@ def plan_capacities(cfg, means, covariances, samples) -> dict:
             ctypes.c_int32(bn), ctypes.c_int32(be),
             ctypes.c_int32(bbe), ctypes.c_int32(bbn),
             ctypes.c_int32(1 if cfg.axis_radii else 0),
+            ctypes.c_int32(1 if cfg.ellip_cull else 0),
             out,
         )
         if rc == 0:

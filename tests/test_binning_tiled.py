@@ -500,6 +500,90 @@ def test_span_packed_work_items_match_span1(rng):
         ktiled.COMPRESS_ABOVE = limit
 
 
+def test_gaussian_binning_reuse(rng):
+    """build(gaussian_binning=...) with fresh samples must equal a full
+    rebuild field-for-field (the dynamics-training hoist: geometry fixed,
+    query points resampled)."""
+    cfg = SamplerConfig(max_tiles_per_gaussian=8).with_dims(2)
+    m, v, cov, c, s1 = _setup(rng, 31, 57, 2)
+    s2 = jnp.asarray(make_samples(np.random.default_rng(99), 64, 2))
+    gstate = binning.build(cfg, m, cov, s1)
+    full = binning.build(cfg, m, cov, s2)
+    reused = binning.build(cfg, m, cov, s2, gaussian_binning=gstate)
+    for name in full._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, name)),
+            np.asarray(getattr(reused, name)), err_msg=name)
+
+
+@pytest.mark.parametrize("D", [2, 3])
+def test_ellip_cull_binning_matches_masked_oracle(rng, D):
+    """cfg.ellip_cull drops candidate tiles whose box the 3-sigma ellipsoid
+    does not intersect (binning/grid.ellip_keep).  Checks: (1) the culled
+    entry set is a strict subset of the uncalled one; (2) no tile containing
+    a point at <= (1 - eps) sigma-level is ever culled (no false culls);
+    (3) the tiled pipeline still matches the oracle under the culled pair
+    mask exactly."""
+    import dataclasses
+
+    cfg = SamplerConfig(max_tiles_per_gaussian=8, ellip_cull=True,
+                        eig_floor=1e-12).with_dims(D)
+    m, v, cov, c, s = _setup(rng, 43, 67, D)
+    state_c = binning.build(cfg, m, cov, s)
+    cfg0 = dataclasses.replace(cfg, ellip_cull=False)
+    state0 = binning.build(cfg0, m, cov, s)
+    T = binning.num_tiles(cfg, D)
+
+    def entry_set(st):
+        gid = np.asarray(st.ent_gid)
+        tile = np.asarray(st.ent_tile[0])
+        keep = tile < T
+        return set(zip(gid[keep].tolist(), tile[keep].tolist()))
+
+    culled_set, full_set = entry_set(state_c), entry_set(state0)
+    assert culled_set < full_set, "ellip_cull must drop some corner tiles"
+
+    # No-false-cull: every tile containing a point strictly inside the
+    # sigma ellipsoid of gaussian p must have a (p, tile) entry.
+    conics_b = np.asarray(binning.conics_from_cov(cov, D))
+    m_np = np.asarray(m)
+    rng2 = np.random.default_rng(7)
+    for p in range(0, 43, 5):
+        Q = np.zeros((D, D))
+        for i in range(D):
+            for j in range(D):
+                from dgs_tpu.config import tri_index
+
+                Q[i, j] = conics_b[p, tri_index(D, i, j)]
+        # Random directions scaled to just inside the 3-sigma surface.
+        u = rng2.normal(size=(256, D))
+        lev = np.einsum("nd,de,ne->n", u, Q, u)
+        pts = m_np[p] + u * (0.98 * cfg.radius_sigma /
+                             np.sqrt(np.maximum(lev, 1e-30)))[:, None]
+        pts_w = (pts - np.asarray(cfg.lower)) % cfg.period \
+            + np.asarray(cfg.lower)
+        tiles = np.floor(
+            (pts_w - np.asarray(cfg.lower)) / cfg.tile_size).astype(int)
+        g = np.asarray(cfg.grid_shape())
+        tiles = np.minimum(tiles, g - 1)
+        strides = np.cumprod(np.concatenate([[1], g[::-1][:-1]]))[::-1]
+        flat = (tiles * strides).sum(axis=1)
+        for t in np.unique(flat):
+            assert (p, int(t)) in culled_set, (p, int(t))
+
+    state2, fg, bg, fw, bw = _build(cfg, m, cov, s)
+    mask = binning.pair_mask_dense(cfg, state2, s, 43)
+    outs = sampling.sample_tiled_multi(
+        ("value", "third"), cfg, m, v, c, s, state2, fg, bg, fw, bw,
+        block_n=128, block_e=128, bwd_block_n=64, bwd_block_e=128,
+    )
+    for order, got in zip(("value", "third"), outs):
+        ref = oracle.evaluate(order, m, v, c, s, pair_mask=mask)
+        np.testing.assert_allclose(
+            got, ref, rtol=3e-4,
+            atol=1e-5 * max(1.0, float(np.abs(ref).max())), err_msg=order)
+
+
 @pytest.mark.parametrize("D", [2, 3])
 def test_axis_radii_binning_matches_masked_oracle(rng, D):
     """cfg.axis_radii bins by the tight per-axis AABB of the 3-sigma

