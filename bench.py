@@ -107,9 +107,12 @@ def main():
         # the reference's isotropic sqrt(lambda_max) box.
         axis_radii=os.environ.get("BENCH_AXIS", "1") == "1",
         # Exact ellipsoid-vs-tile cull (binning/grid.ellip_keep): drops the
-        # AABB corner tiles the 3-sigma ellipsoid never touches.
-        # BENCH_ELLIP=0 restores plain box footprints.
-        ellip_cull=os.environ.get("BENCH_ELLIP", "1") == "1",
+        # AABB corner tiles the 3-sigma ellipsoid never touches.  On-chip
+        # round 5: D=3 233.3 -> 207.4 ms (-11%); D=2 LOSES ~2 ms (sub-tile
+        # footprints leave no corners to cull and the in-step CD solve
+        # costs ~2 ms) - so the default is per-D.  BENCH_ELLIP overrides.
+        ellip_cull=os.environ.get("BENCH_ELLIP", "1" if D >= 3 else "0")
+        == "1",
         # BENCH_SEP=0/1 forces the separable MXU pair math off/on (unset =
         # per-D auto); the tradeoff flipped when kernel dot precision was
         # pinned to HIGHEST.

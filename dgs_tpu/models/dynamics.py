@@ -113,7 +113,7 @@ def rollout_step(params: DynamicsParams, values, nbr, *,
 
 def make_value_eval(cfg: SamplerConfig, field: GaussianField,
                     eval_method: str = "dense", n_eval: int = 4096,
-                    with_overflow: bool = False):
+                    with_overflow: bool = False, padded: bool = False):
     """(values, x) -> u(x) evaluator for a fixed cloud geometry, for
     batches of ``n_eval`` points.
 
@@ -176,13 +176,22 @@ def make_value_eval(cfg: SamplerConfig, field: GaussianField,
         cfg_s, field.means, covs, probe)
 
     def eval_u(values, x):
+        # ``padded``: raw lane-major kernel layout (1, C, Np) plus the sort
+        # permutation - reduction losses consume it zero-copy and the
+        # backward cotangent never leaves the packed layout.  The unsorted
+        # (N, C) form pays a pathological 2-lane (C, Np) -> (N, C)
+        # transpose + unsort scatter pair (~12 ms of a 20 ms 65k-point
+        # eval step, tools/profile_dynamics.py round 5).
         outs, diag = sampling.sample_binned(
             cfg_s, field.means, values, conics, covs, x, ("value",),
-            gaussian_binning=gstate)
+            gaussian_binning=gstate, sorted_outputs=padded,
+            padded_outputs=padded)
+        u = outs["value"]
+        ret = (u, diag["perm"]) if padded else (u,)
         if with_overflow:
             of = sum(v for k, v in diag.items() if k != "perm")
-            return outs["value"], of.astype(jnp.int32)
-        return outs["value"]
+            ret = ret + (of.astype(jnp.int32),)
+        return ret if len(ret) > 1 else ret[0]
 
     # One eager probe on a fresh batch: the capacities must hold for
     # resampled points, not just the planning probe.
@@ -283,8 +292,9 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
     params = init_dynamics_params(k_params, P, 1, D,
                                   ladder=ladder_frequencies)
     opt = optax.adam(learning_rate)
+    padded = eval_method == "tiled"
     eval_u = make_value_eval(cfg, field, eval_method, n_eval=n_eval,
-                             with_overflow=True)
+                             with_overflow=True, padded=padded)
 
     def loss_fn(params, key):
         # Aggregation rollout (Python-unrolled: a handful of steps), then
@@ -296,9 +306,22 @@ def train(cfg: SamplerConfig, *, P: int = 512, D: int = 2, steps: int = 150,
             stacked.append(values)
         V = jnp.concatenate(stacked, axis=1)            # (P, rollout*C)
         x = jax.random.uniform(key, (n_eval, D), minval=-1.0, maxval=1.0)
-        u, overflow = eval_u(V, x)                      # (n_eval, rollout)
+        if padded:
+            # Lane-major loss on the kernels' raw padded layout (pad
+            # columns are zero and excluded): the cotangent stays packed,
+            # skipping the 2-lane transpose + unsort pair (see eval_u).
+            # Targets are evaluated directly on the SORTED points - the
+            # (N, 1) -> (1, N) turn is a reshape, not a transpose.
+            u_pad, perm, overflow = eval_u(V, x)        # (1, R, Np), (N,)
+            xs = x[perm]
+            tgt_t = jnp.concatenate(
+                [u_star(xs, (r + 1.0) * dt).reshape(1, -1)
+                 for r in range(rollout)], axis=0)      # (R, N)
+            diff = u_pad[0][:, :n_eval] - tgt_t
+            return jnp.mean(diff * diff), overflow
         tgt = jnp.concatenate(
             [u_star(x, (r + 1.0) * dt) for r in range(rollout)], axis=1)
+        u, overflow = eval_u(V, x)                      # (n_eval, rollout)
         return jnp.mean((u - tgt) ** 2), overflow
 
     def body(carry, key):
