@@ -78,10 +78,13 @@ def main():
         eig_floor=float(os.environ.get("BENCH_EIG_FLOOR", 1e-12)),
         block_n=int(os.environ.get("BENCH_BN", blocks.block_n)),
         # The chunked path uses (block_n, block_p) for BOTH directions;
-        # 512x256 won the D=3 chunked sweep.
+        # 512x256 won the D=3 chunked sweep.  The 4-order D=3 workload
+        # must drop to 128-entry blocks: its K*C=80 cotangent rows exceed
+        # the 16MB scoped-VMEM stack at 512x256 (compiler OOM, round 2/5).
         block_p=int(os.environ.get(
-            "BENCH_BP", 256 if method == "chunked" and D == 3
-            else blocks.block_p)),
+            "BENCH_BP",
+            (128 if "third" in ORDERS else 256)
+            if method == "chunked" and D == 3 else blocks.block_p)),
         # Very large per-chip sample counts need coarser backward sample
         # blocks to keep the work list inside scalar SMEM.
         block_n_bwd=int(os.environ.get(

@@ -102,7 +102,7 @@ inline bool conic_from_cov(const float* cov, int D, double* Q) {
 }
 
 // Exact ellipsoid-vs-tile test (binning/grid.py ellip_keep): clamped cyclic
-// coordinate descent on min_{y in box} y^T Q y, 8 sweeps from the Euclidean
+// coordinate descent on min_{y in box} y^T Q y, 4 sweeps from the Euclidean
 // projection of the mean; keep iff the found minimum is within (1 + 1e-3)
 // of radius_sigma^2.  Q is packed-tri; blo/bhi are the tile box centered on
 // the mean.
@@ -113,7 +113,7 @@ inline bool ellip_keep_tile(const double* Q, int D, const double* blo,
   double y[3];
   for (int d = 0; d < D; ++d)
     y[d] = std::min(std::max(0.0, blo[d]), bhi[d]);
-  for (int it = 0; it < 8; ++it) {
+  for (int it = 0; it < 4; ++it) {  // = grid.ELLIP_CULL_SWEEPS
     for (int d = 0; d < D; ++d) {
       double num = 0.0, qdd = 0.0;
       for (int e = 0; e < D; ++e) {
